@@ -1,0 +1,142 @@
+"""Latent dynamics: frozen autoencoder + trainable latent propagator.
+
+The reference's LatentDynamics (train_stage2_ns2d.py:90-158) runs the
+rollout as a Python loop, decoding inside the loop at every eval step. Here
+the rollout is a single `lax.scan` inside one jitted program — latents stay
+resident in HBM; decoding is batched over (batch x time) after the scan so
+the decoder's convs see large MXU-friendly batches. This fused
+encode -> scan -> batched-decode program is the benchmark kernel
+(BASELINE.md throughput target).
+
+Parameter layout: {'vq_ae': ..., 'propagator': ...}; stage-2 training takes
+gradients w.r.t. the propagator subtree only (the AE is frozen, matching
+requires_grad=False + eval in the reference, train_stage2_ns2d.py:107-114).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lns_tpu.models.autoencoder import SimpleAutoencoder
+from lns_tpu.models.propagator import build_propagator
+from lns_tpu.ops.losses import smooth_l1_loss
+
+
+class LatentDynamics:
+    """Functional wrapper pairing an AE apply-fn with a propagator apply-fn.
+
+    All methods are pure in (params, inputs) and jit-safe. `steps` counts are
+    static (rollout lengths are fixed per workload).
+    """
+
+    def __init__(self, cfg, dtype=None, ae_dtype=None):
+        self.cfg = cfg
+        self.ae = SimpleAutoencoder(cfg, dtype=ae_dtype)
+        self.propagator = build_propagator(cfg, dtype=dtype)
+        self.conditional = cfg.is_conditional
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key, x_shape):
+        """Initialize both subtrees. x_shape: [b, h, w, c] field shape."""
+        k1, k2 = jax.random.split(key)
+        x = jnp.zeros(x_shape, jnp.float32)
+        ae_vars = self.ae.init(k1, x)
+        z = self.ae.apply(ae_vars, x, method=SimpleAutoencoder.encode)
+        if self.conditional:
+            param = jnp.zeros((x_shape[0],), jnp.float32)
+            prop_vars = self.propagator.init(k2, z, param)
+        else:
+            prop_vars = self.propagator.init(k2, z)
+        return {
+            "params": {
+                "vq_ae": ae_vars["params"],
+                "propagator": prop_vars["params"],
+            }
+        }
+
+    # -- pieces -------------------------------------------------------------
+    @staticmethod
+    def _p(params):
+        """Accept either the bare {'vq_ae', 'propagator'} tree or a
+        {'params': ...}-wrapped variable dict."""
+        return params["params"] if "params" in params else params
+
+    def encode(self, params, x):
+        return self.ae.apply(
+            {"params": self._p(params)["vq_ae"]}, x, method=SimpleAutoencoder.encode
+        )
+
+    def decode(self, params, z):
+        return self.ae.apply(
+            {"params": self._p(params)["vq_ae"]}, z, method=SimpleAutoencoder.decode
+        )
+
+    def propagate(self, params, z, cond=None):
+        prop = {"params": self._p(params)["propagator"]}
+        if self.conditional:
+            return self.propagator.apply(prop, z, cond)
+        return self.propagator.apply(prop, z)
+
+    # -- training rollout ---------------------------------------------------
+    def rollout_loss(self, params, z_in, z_out, cond=None, loss_fn=smooth_l1_loss):
+        """Pure latent rollout training loss (reference forward,
+        train_stage2_ns2d.py:126-141): feed predictions back `t_out` times,
+        smooth-L1 against precomputed latent targets. Full BPTT through the
+        scan (t_out <= 5 in all shipped configs — unrolled).
+
+        z_in: [b, 1, h, w, c]; z_out: [b, t_out, h, w, c].
+        """
+        t_out = z_out.shape[1]
+        z = z_in[:, 0]  # squeeze only the time axis (fixes reference defect
+        # 2.10-11: z_in.squeeze() broke batch-size-1)
+
+        def step(carry, _):
+            z_new = self.propagate(params, carry, cond)
+            return z_new, z_new
+
+        _, z_pred = lax.scan(step, z, None, length=t_out, unroll=True)
+        z_pred = jnp.moveaxis(z_pred, 0, 1)  # [b, t_out, ...]
+        return loss_fn(z_pred, z_out)
+
+    # -- fused autoregressive inference -------------------------------------
+    def predict_latents(self, params, x, steps: int, cond=None):
+        """Encode once, scan `steps` propagator applications; returns
+        [b, steps, h, w, c] latents."""
+        z0 = self.encode(params, x)
+
+        def step(carry, _):
+            z_new = self.propagate(params, carry, cond)
+            return z_new, z_new
+
+        _, zs = lax.scan(step, z0, None, length=steps)
+        return jnp.moveaxis(zs, 0, 1)
+
+    def predict(self, params, x, steps: int, cond=None, to_x: bool = True,
+                decode_chunk: Optional[int] = None):
+        """Full fused rollout: encode -> scan -> batched decode.
+
+        Mathematically identical to the reference's decode-every-step loop
+        (train_stage2_ns2d.py:143-158) but the decode runs over the flattened
+        (batch*steps) axis in one (or a few chunked) passes — large batches
+        for the MXU instead of `steps` tiny launches.
+        """
+        zs = self.predict_latents(params, x, steps, cond)
+        if not to_x:
+            return zs
+        b, t = zs.shape[:2]
+        zflat = zs.reshape((b * t,) + zs.shape[2:])
+        if decode_chunk is None:
+            yflat = self.decode(params, zflat)
+        else:
+            n = b * t
+            pad = (-n) % decode_chunk
+            zpad = jnp.pad(zflat, [(0, pad)] + [(0, 0)] * (zflat.ndim - 1))
+            chunks = zpad.reshape((-1, decode_chunk) + zflat.shape[1:])
+            yflat = lax.map(lambda c: self.decode(params, c), chunks)
+            yflat = yflat.reshape((-1,) + yflat.shape[2:])[:n]
+        return yflat.reshape((b, t) + yflat.shape[1:])
