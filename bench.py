@@ -1,0 +1,103 @@
+"""Benchmark: NS2d autoregressive rollout throughput (frames/sec/chip).
+
+Measures the headline inference kernel — the fused encode -> 29 latent
+steps -> batched decode rollout of the NS2d latent surrogate at the
+reference's shipped shapes (64x64x1 field, 8x8x16 latent, SimpleCNN
+propagator 3x128, batch 32, 29-step rollout = configs/ns2d_stage2_prop.yml
+case_len 30, interval 1) — as a single jitted program on one chip.
+
+Timing protocol: the axon tunnel adds ~30 ms host round-trip latency and
+its block_until_ready does not block, so R rollouts are chained *inside*
+one jitted fori_loop (data-dependent carry, no dead code) and the single
+host fetch RTT (measured separately) is subtracted.
+
+Baseline: the reference implementation decodes inside a Python loop on an
+A100 (estimated ~5,000 frames/s at batch 32; BASELINE.md "A100 estimate").
+vs_baseline = measured / 5000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_TORCH_BASELINE_FPS = 5000.0  # estimated reference throughput (BASELINE.md)
+
+BATCH = 32
+STEPS = 29
+REPS = 20
+
+
+def build():
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(here, "__graft_entry__.py")
+    )
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+
+    from lns_tpu.models import LatentDynamics
+
+    cfg = graft._ns2d_cfg()
+    model = LatentDynamics(cfg, dtype=jnp.bfloat16, ae_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x.shape)
+    params = variables["params"]
+
+    @jax.jit
+    def rollout_chain(params, x, n):
+        """n back-to-back rollouts with a data-dependent carry so none can
+        be optimized away; returns a scalar to fetch."""
+
+        def body(i, carry):
+            y = model.predict(params, carry, steps=STEPS, to_x=True)
+            # feed the last predicted frame back (scaled) — real dependency
+            return carry + 1e-6 * y[:, -1]
+
+        out = jax.lax.fori_loop(0, n, body, x)
+        return out[0, 0, 0, 0]
+
+    return rollout_chain, params, x
+
+
+def measure_rtt():
+    @jax.jit
+    def triv(x):
+        return x[0, 0, 0, 0] + 1.0
+
+    x = jnp.zeros((1, 1, 1, 1))
+    np.asarray(triv(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(triv(x))
+    return (time.perf_counter() - t0) / 5
+
+
+def main():
+    rollout_chain, params, x = build()
+    rtt = measure_rtt()
+    np.asarray(rollout_chain(params, x, 2))  # compile + warmup
+
+    t0 = time.perf_counter()
+    np.asarray(rollout_chain(params, x, REPS))
+    dt = time.perf_counter() - t0 - rtt
+    per_rollout = dt / REPS
+
+    fps = BATCH * STEPS / per_rollout
+    print(json.dumps({
+        "metric": "ns2d_rollout_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / A100_TORCH_BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

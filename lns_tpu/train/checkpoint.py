@@ -1,0 +1,61 @@
+"""Checkpoint save/restore.
+
+Native format: flax msgpack param/opt-state trees written atomically,
+mirroring the reference's file naming (`vqgan_epoch_{n}`, `model_{n}`,
+`optim_{n}`, `sched_{n}`; train_stage1_ns2d.py:63-66,
+train_stage2_ns2d.py:200-206) with `.msgpack` extensions. Reference torch
+`.pt` checkpoints load transparently through the converter
+(lns_tpu.utils.torch_compat).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(tree: Any, path: str) -> None:
+    data = serialization.to_bytes(jax.tree.map(np.asarray, tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_pytree(template: Any, path: str) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def load_autoencoder_checkpoint(cfg, path: str, template: Optional[Any] = None) -> Dict:
+    """Load stage-1 AE params from either a reference torch .pt or a native
+    .msgpack checkpoint."""
+    if path.endswith(".pt"):
+        from lns_tpu.utils.torch_compat import (
+            convert_autoencoder,
+            load_torch_state_dict,
+            to_jax,
+        )
+
+        return to_jax(convert_autoencoder(cfg, load_torch_state_dict(path)))
+    assert template is not None, "msgpack restore needs a template tree"
+    return load_pytree(template, path)
+
+
+def load_latent_dynamics_checkpoint(cfg, path: str, template: Optional[Any] = None) -> Dict:
+    """Load stage-2 {vq_ae, propagator} params from .pt or .msgpack."""
+    if path.endswith(".pt"):
+        from lns_tpu.utils.torch_compat import (
+            convert_latent_dynamics,
+            load_torch_state_dict,
+            to_jax,
+        )
+
+        return to_jax(convert_latent_dynamics(cfg, load_torch_state_dict(path)))
+    assert template is not None
+    return load_pytree(template, path)

@@ -1,0 +1,187 @@
+"""Stage-1 autoencoder training (reconstruction with relative-L2 loss).
+
+Mirrors the reference TrainAE loops (train_stage1_{ns2d,SW,twophase}.py):
+Adam betas (0.5, 0.9), per-epoch validation + checkpointing every
+`ckpt_every`, loss = relative_lp_loss over spatial dims with reduce_all;
+the two-phase trainer computes the loss on *denormalized* fields
+(train_stage1_twophase.py:71-73) — replicated per workload.
+
+TPU-first: a single donated jitted train step; optional 1-D data-parallel
+mesh (batch sharded, params replicated, psum gradient reduction inserted by
+XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lns_tpu.data import (
+    NS2DStage1,
+    SWStage1,
+    TankSloshingStage1,
+    epoch_batches,
+)
+from lns_tpu.models import SimpleAutoencoder
+from lns_tpu.ops.losses import relative_lp_loss
+from lns_tpu.parallel.mesh import batch_sharding, replicated_sharding, shard_batch
+from lns_tpu.train.checkpoint import load_autoencoder_checkpoint, save_pytree
+from lns_tpu.train.logging_utils import (
+    MetricLogger,
+    log_sequence,
+    plot_error_curve,
+    prepare_training,
+)
+from lns_tpu.train.optim import stage1_optimizer
+
+
+STAGE1_DATASETS = {
+    "ns2d": NS2DStage1,
+    "sw": SWStage1,
+    "twophase": TankSloshingStage1,
+    "twophase_conditional": TankSloshingStage1,
+}
+
+
+class Stage1Trainer:
+    def __init__(self, cfg, seed: int = 1234, mesh=None, use_wandb: bool = True,
+                 prepare_dirs: bool = True, config_path: Optional[str] = None):
+        self.cfg = cfg
+        self.seed = seed
+        self.mesh = mesh
+        self.key = jax.random.PRNGKey(seed)
+
+        if prepare_dirs:
+            prepare_training(cfg.log_dir, bool(cfg.overwrite_exist),
+                             config_path=config_path, config_dict=cfg.to_dict())
+        self.logger = MetricLogger(cfg.log_dir, project=cfg.project_name,
+                                   config=cfg.to_dict(), use_wandb=use_wandb)
+
+        ds_cls = STAGE1_DATASETS[cfg.workload]
+        self.train_ds = ds_cls(cfg, train_mode=True)
+        self.val_ds = ds_cls(cfg, train_mode=False)
+        # two-phase computes the training loss on denormalized fields
+        self.loss_on_denorm = cfg.workload.startswith("twophase")
+
+        self.model = SimpleAutoencoder(cfg)
+        sample = self.train_ds.get_batch(np.arange(1))
+        self.key, k = jax.random.split(self.key)
+        variables = self.model.init(k, jnp.asarray(sample))
+        self.params = variables["params"]
+        self.tx = stage1_optimizer(cfg)
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = 0
+
+        if cfg.resume_training and cfg.resume_ckpt:
+            self.params = load_autoencoder_checkpoint(cfg, cfg.resume_ckpt, self.params)
+
+        n_params = sum(p.size for p in jax.tree.leaves(self.params))
+        print(f"Number of trainable parameters: {n_params}")
+
+        self._train_step = self._build_train_step()
+        self._fwd = self._build_forward()
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, x):
+        x_hat = self.model.apply({"params": params}, x)
+        if self.loss_on_denorm:
+            x_hat = self.train_ds.denormalize(x_hat)
+            x = self.train_ds.denormalize(x)
+        # reduce over spatial dims of [b, h, w, c] -> [b, c], then mean
+        return relative_lp_loss(x_hat, x, reduce_dim=(1, 2), p=2, reduce_all=True)
+
+    def _build_train_step(self):
+        def step(params, opt_state, x):
+            loss, grads = jax.value_and_grad(self._loss)(params, x)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            return jax.jit(step, in_shardings=(rep, rep, bsh),
+                           out_shardings=(rep, rep, rep), donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_forward(self):
+        def fwd(params, x):
+            return self.model.apply({"params": params}, x)
+
+        return jax.jit(fwd)
+
+    def _put(self, x):
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            return shard_batch(self.mesh, x)
+        return x
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        rng = np.random.default_rng(self.seed)
+        n = len(self.train_ds)
+        for epoch in range(cfg.epochs):
+            self.epoch = epoch
+            if epoch % cfg.ckpt_every == 0:
+                self.validate(epoch)
+                self.save(epoch)
+            for idx in epoch_batches(n, cfg.batch_size, rng,
+                                     drop_last=self.mesh is not None):
+                x = self._put(self.train_ds.get_batch(idx))
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, x
+                )
+                self.logger.log({"rec_loss": loss})
+        self.validate("final")
+        self.save("final")
+        self.logger.finish()
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch) -> float:
+        """Per-frame reconstruction rel-L2 on denormalized held-out
+        trajectories (train_stage1_ns2d.py:99-148)."""
+        cfg = self.cfg
+        traj = self.val_ds.eval_trajectories()  # [n, t, h, w, c]
+        nc, t = traj.shape[:2]
+        flat = traj.reshape(nc * t, *traj.shape[2:])
+        bs = min(64, flat.shape[0])
+        outs = []
+        for i in range(0, flat.shape[0], bs):
+            chunk = flat[i : i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            y = np.asarray(self._fwd(self.params, jnp.asarray(chunk)))
+            outs.append(y[: bs - pad] if pad else y)
+        recon = np.concatenate(outs).reshape(traj.shape)
+
+        recon_d = np.asarray(self.val_ds.denormalize(recon))
+        traj_d = np.asarray(self.val_ds.denormalize(traj))
+        # [n, t, h, w, c] -> rel-L2 over (h, w) -> [n, t, c]
+        err = np.asarray(
+            relative_lp_loss(jnp.asarray(recon_d), jnp.asarray(traj_d),
+                             reduce_dim=(2, 3), p=2)
+        )
+        val = float(err.mean())
+        print(f"Validation Reconstruction Loss: {val}")
+        self.logger.log({"val_recon_loss": val}, echo=False)
+
+        sdir = os.path.join(cfg.log_dir, "samples")
+        stride = max(1, t // 6)
+        nshow = min(4, nc)
+        log_sequence(recon_d[:nshow, ::stride, :, :, 0], os.path.join(sdir, f"sample_{epoch}.png"))
+        log_sequence(traj_d[:nshow, ::stride, :, :, 0], os.path.join(sdir, f"gt_{epoch}.png"))
+        plot_error_curve(err.mean(axis=(0, 2)), err.std(axis=0).mean(-1),
+                         os.path.join(sdir, f"err_curve_{epoch}.png"))
+        return val
+
+    def save(self, epoch):
+        path = os.path.join(self.cfg.log_dir, "checkpoints", f"vqgan_epoch_{epoch}.msgpack")
+        save_pytree(self.params, path)

@@ -1,0 +1,240 @@
+"""Stage-2 latent propagator training (rollout BPTT in latent space).
+
+Mirrors the reference TrainDynamics (train_stage2_*.py): a one-time jitted
+encode pre-pass over the whole corpus, Adam + cosine annealing over the
+propagator parameters only (AE frozen), smooth-L1 rollout loss over out_tw
+steps, full-rollout validation with frame-wise and sequence-wise rel-L2.
+
+TPU-first: rollout is a `lax.scan` inside one jitted step (full BPTT, remat
+optional), validation uses the fused encode -> scan -> batched-decode
+program from LatentDynamics.predict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lns_tpu.data import (
+    ConditionalTankSloshingStage2,
+    NS2DStage2,
+    SWStage2,
+    TankSloshingStage2,
+    epoch_batches,
+)
+from lns_tpu.models import LatentDynamics
+from lns_tpu.ops.losses import relative_lp_loss
+from lns_tpu.parallel.mesh import batch_sharding, replicated_sharding, shard_batch
+from lns_tpu.train.checkpoint import (
+    load_autoencoder_checkpoint,
+    load_latent_dynamics_checkpoint,
+    save_pytree,
+)
+from lns_tpu.train.logging_utils import (
+    MetricLogger,
+    log_sequence,
+    plot_error_curve,
+    prepare_training,
+)
+from lns_tpu.train.optim import stage2_optimizer
+
+
+STAGE2_DATASETS = {
+    "ns2d": NS2DStage2,
+    "sw": SWStage2,
+    "twophase": TankSloshingStage2,
+    "twophase_conditional": ConditionalTankSloshingStage2,
+}
+
+
+class Stage2Trainer:
+    def __init__(self, cfg, seed: int = 1234, mesh=None, use_wandb: bool = True,
+                 prepare_dirs: bool = True, config_path: Optional[str] = None):
+        self.cfg = cfg
+        self.seed = seed
+        self.mesh = mesh
+        self.key = jax.random.PRNGKey(seed)
+        self.conditional = cfg.is_conditional
+
+        if prepare_dirs:
+            prepare_training(cfg.log_dir, bool(cfg.overwrite_exist),
+                             config_path=config_path, config_dict=cfg.to_dict())
+        self.logger = MetricLogger(cfg.log_dir, project=cfg.project_name,
+                                   config=cfg.to_dict(), use_wandb=use_wandb)
+
+        self.model = LatentDynamics(cfg)
+        ds_cls = STAGE2_DATASETS[cfg.workload]
+        self.train_ds = ds_cls(cfg, train_mode=True)
+        self.val_ds = ds_cls(cfg, train_mode=False)
+
+        # init params, then load the frozen pretrained AE
+        sample = self.train_ds.normalize(
+            np.zeros((1,) + self._field_shape(), np.float32)
+        )
+        self.key, k = jax.random.split(self.key)
+        variables = self.model.init(k, sample.shape)
+        params = variables["params"]
+        if cfg.pretrained_checkpoint_path:
+            print(f"Loading pretrained autoencoder from {cfg.pretrained_checkpoint_path}")
+            params["vq_ae"] = load_autoencoder_checkpoint(
+                cfg, cfg.pretrained_checkpoint_path, params["vq_ae"]
+            )
+            print("Pretrained autoencoder loaded successfully")
+        self.ae_params = params["vq_ae"]      # frozen
+        self.prop_params = params["propagator"]  # trainable
+
+        n_params = sum(p.size for p in jax.tree.leaves(self.prop_params))
+        print(f"Number of parameters: {n_params}")
+
+        # one-time latent pre-pass (jitted, batched)
+        encode = jax.jit(lambda x: self.model.encode({"vq_ae": self.ae_params,
+                                                      "propagator": self.prop_params}, x))
+        self.train_ds.encode_dataset(encode)
+
+        steps_per_epoch = max(1, len(self.train_ds) // cfg.batch_size)
+        self.tx = stage2_optimizer(cfg, steps_per_epoch)
+        self.opt_state = self.tx.init(self.prop_params)
+        self.noise_level = float(cfg.noise_level or 0.0)
+
+        self._train_step = self._build_train_step()
+
+    def _field_shape(self):
+        cfg = self.cfg
+        if cfg.workload == "ns2d":
+            return (cfg.resolution, cfg.resolution, cfg.in_channels)
+        return (cfg.resolutions[0], cfg.resolutions[1], cfg.in_channels)
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model = self.model
+        ae_params = self.ae_params
+        noise = self.noise_level
+
+        def step(prop_params, opt_state, z_in, z_out, cond, key):
+            if noise > 0:
+                z_in = z_in + noise * jax.random.normal(key, z_in.shape, z_in.dtype)
+
+            def loss_fn(pp):
+                params = {"vq_ae": ae_params, "propagator": pp}
+                return model.rollout_loss(params, z_in, z_out, cond)
+
+            loss, grads = jax.value_and_grad(loss_fn)(prop_params)
+            updates, opt_state = self.tx.update(grads, opt_state, prop_params)
+            prop_params = optax.apply_updates(prop_params, updates)
+            return prop_params, opt_state, loss
+
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rep, rep, bsh, bsh, bsh if self.conditional else None, rep),
+                donate_argnums=(0, 1),
+            )
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _put(self, x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            return shard_batch(self.mesh, x)
+        return x
+
+    @property
+    def params(self):
+        return {"vq_ae": self.ae_params, "propagator": self.prop_params}
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        rng = np.random.default_rng(self.seed)
+        n = len(self.train_ds)
+        for epoch in range(cfg.epochs):
+            if epoch % cfg.ckpt_every == 0:
+                self.validate(epoch)
+                self.save(epoch)
+            for idx in epoch_batches(n, cfg.batch_size, rng, drop_last=True):
+                batch = self.train_ds.get_batch(idx)
+                if self.conditional:
+                    z_in, z_out, cond = batch
+                else:
+                    z_in, z_out = batch
+                    cond = None
+                self.key, k = jax.random.split(self.key)
+                self.prop_params, self.opt_state, loss = self._train_step(
+                    self.prop_params, self.opt_state,
+                    self._put(z_in), self._put(z_out), self._put(cond), k,
+                )
+                self.logger.log({"loss": loss})
+        self.validate(cfg.epochs)
+        self.save("final")
+        self.logger.finish()
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch, batch_size: int = 8):
+        """Full autoregressive rollout eval: frame-wise and sequence-wise
+        relative L2 on denormalized fields (train_stage2_ns2d.py:238-293)."""
+        cfg = self.cfg
+        ev = self.val_ds.eval_trajectories()
+        if self.conditional:
+            x0, y, cond_all = ev
+        else:
+            x0, y = ev
+            cond_all = None
+        n, steps = y.shape[0], y.shape[1]
+
+        predict = jax.jit(
+            lambda p, x, c: self.model.predict(p, x, steps, cond=c, to_x=True),
+            static_argnums=(),
+        ) if self.conditional else jax.jit(
+            lambda p, x: self.model.predict(p, x, steps, to_x=True)
+        )
+
+        frame_errs, seq_errs = [], []
+        sample_pred = sample_gt = None
+        params = self.params
+        for i in range(0, n, batch_size):
+            xb = jnp.asarray(x0[i : i + batch_size, 0])  # [b, h, w, c]
+            yb = y[i : i + batch_size]
+            if self.conditional:
+                cb = jnp.asarray(cond_all[i : i + batch_size])
+                yhat = predict(params, xb, cb)
+            else:
+                yhat = predict(params, xb)
+            yhat_d = np.asarray(self.val_ds.denormalize(yhat))
+            y_d = np.asarray(self.val_ds.denormalize(jnp.asarray(yb)))
+            # [b, t, h, w, c]: frame-wise over (h, w); sequence-wise over (t, h, w)
+            frame_errs.append(np.asarray(relative_lp_loss(
+                jnp.asarray(yhat_d), jnp.asarray(y_d), reduce_dim=(2, 3), p=2)))
+            seq_errs.append(np.asarray(relative_lp_loss(
+                jnp.asarray(yhat_d), jnp.asarray(y_d), reduce_dim=(1, 2, 3), p=2)))
+            if sample_pred is None:
+                sample_pred, sample_gt = yhat_d, y_d
+
+        frame_err = np.concatenate(frame_errs)  # [n, t, c]
+        seq_err = np.concatenate(seq_errs)      # [n, c]
+        seq_mean = seq_err.mean(axis=0)
+        print(f"Averaged sequence-wise relative loss: {seq_mean}")
+        self.logger.log({"val_seq_rel_l2": float(seq_mean.mean())})
+
+        sdir = os.path.join(cfg.log_dir, "samples")
+        stride = max(1, steps // 6)
+        nshow = min(4, sample_pred.shape[0])
+        log_sequence(sample_pred[:nshow, ::stride, :, :, 0],
+                     os.path.join(sdir, f"sample_{epoch}.png"))
+        log_sequence(sample_gt[:nshow, ::stride, :, :, 0],
+                     os.path.join(sdir, f"gt_{epoch}.png"))
+        plot_error_curve(frame_err.mean(axis=(0, 2)), frame_err.std(axis=0).mean(-1),
+                         os.path.join(sdir, f"err_curve_{epoch}.png"))
+        return float(seq_mean.mean())
+
+    def save(self, epoch):
+        ckpt = os.path.join(self.cfg.log_dir, "checkpoints")
+        save_pytree(self.params, os.path.join(ckpt, f"model_{epoch}.msgpack"))
+        save_pytree(self.opt_state, os.path.join(ckpt, f"optim_{epoch}.msgpack"))

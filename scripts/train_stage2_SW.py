@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Drop-in wrapper matching the reference entry point name (train_stage2_SW.py);
+delegates to the unified stage-2 CLI."""
+from lns_tpu.cli.train_stage2 import main
+
+if __name__ == "__main__":
+    main()
