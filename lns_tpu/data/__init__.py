@@ -15,4 +15,5 @@ from lns_tpu.data.twophase import (
     ConditionalTankSloshingStage2,
 )
 from lns_tpu.data.shallow_water import SWStage1, SWStage2
+from lns_tpu.data.km2d import KM2DStage1, KM2DStage2
 from lns_tpu.data.loader import epoch_batches

@@ -129,15 +129,26 @@ class FABlock2D(nn.Module):
         )(u_y)  # [b, heads, w, w]
 
         b, h, w, _ = u_phi.shape
-        # '[b, h, w, (heads d)] -> [b, heads, h, w, d]'
-        phi = u_phi.reshape(b, h, w, self.heads, self.dim_head).transpose(0, 3, 1, 2, 4)
-        # axial kernel applications (reference einsums, channels-last):
-        #   'bhij,bhcjm->bhcim' -> contract row axis
-        phi = jnp.einsum("bhij,bhjwd->bhiwd", k_x, phi)
-        #   'bhlm,bhcim->bhcil' -> contract column axis
-        phi = jnp.einsum("bhlm,bhimd->bhild", k_y, phi)
-        # back to [b, h, w, heads*d] with (heads, d) channel ordering
-        phi = phi.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.heads * self.dim_head)
+        # Split the head axis off the (row-major) channel dim — a free
+        # reshape, never a materialized transpose. Both axial applications
+        # keep the tensor in [b, row, col, head, d] layout so the only data
+        # movement is the matmuls themselves (the reference's einsums
+        # 'bhij,bhcjm->bhcim' / 'bhlm,bhcim->bhcil' in channels-last form).
+        from lns_tpu.pallas_kernels.backend import enabled as pallas_enabled
+
+        if pallas_enabled():
+            # fused Pallas path: both axial matmuls per (sample, head) in
+            # VMEM — one HBM read + write of phi
+            from lns_tpu.pallas_kernels.axial_attention import axial_kernel_apply
+
+            phi = axial_kernel_apply(
+                k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi, self.heads
+            )
+        else:
+            phi = u_phi.reshape(b, h, w, self.heads, self.dim_head)
+            phi = jnp.einsum("bnij,bjwnd->biwnd", k_x, phi)
+            phi = jnp.einsum("bnlm,bimnd->bilnd", k_y, phi)
+            phi = phi.reshape(b, h, w, self.heads * self.dim_head)
 
         out = instance_norm_2d(phi)
         out = Conv1x1(self.dim_out, use_bias=False, name="out_fc1")(out)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -74,9 +75,16 @@ class LayerNorm(nn.Module):
 
 def instance_norm_2d(x, eps: float = 1e-5):
     """torch.nn.InstanceNorm2d defaults (no affine, no running stats) on
-    NHWC inputs: normalize each (sample, channel) over H, W."""
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
-    return ((xf - mean) / jnp.sqrt(var + eps)).astype(orig_dtype)
+    NHWC inputs: normalize each (sample, channel) over H, W.
+
+    Statistics accumulate in float32 (matching torch for f32 inputs); the
+    input tensor itself is never materialized in f32 — on bf16 activations
+    the normalize pass stays bf16-width in HBM, which matters because this
+    runs on the 512-channel factorized-attention tensors.
+    """
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32) - mean), axis=(1, 2), keepdims=True
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    return ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
