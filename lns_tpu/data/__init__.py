@@ -13,7 +13,9 @@ from lns_tpu.data.twophase import (
     TankSloshingStage1,
     TankSloshingStage2,
     ConditionalTankSloshingStage2,
+    SimpleTankSloshingData,
+    ConditionalSimpleTankSloshingData,
 )
-from lns_tpu.data.shallow_water import SWStage1, SWStage2
+from lns_tpu.data.shallow_water import SWStage1, SWStage2, SW2DDataSimple
 from lns_tpu.data.km2d import KM2DStage1, KM2DStage2
 from lns_tpu.data.loader import epoch_batches

@@ -169,3 +169,27 @@ class SWStage2(_SWBase):
     def eval_trajectories(self):
         traj = self.normalize(self.fields[:, self.start_frame :: self.interval])
         return traj[:, : self.in_tw], traj[:, self.in_tw :]
+
+    def get_pixel_batch(self, indices: np.ndarray):
+        """Pixel-space windows (x_in, x_out) — the reference's
+        SW2DDataSimple twin (Stage2_SW.py:152-275) as a method: same
+        windowing, fields instead of latents."""
+        if self._full_window:
+            case = indices
+        else:
+            per = self.case_len - ((self.in_tw + self.out_tw) * self.interval + self.start_frame)
+            case = indices // per
+        start = self._start(indices)
+        iv = self.interval
+        t_in = start[:, None] + np.arange(0, self.in_tw * iv, iv)[None]
+        t_out = start[:, None] + self.in_tw * iv + np.arange(0, self.out_tw * iv, iv)[None]
+        frames = self.normalize(self.fields)
+        return frames[case[:, None], t_in], frames[case[:, None], t_out]
+
+
+class SW2DDataSimple(SWStage2):
+    """Pixel-space stage-2 twin: batches come from `get_pixel_batch` (no
+    encode pre-pass needed)."""
+
+    def get_batch(self, indices: np.ndarray):
+        return self.get_pixel_batch(indices)

@@ -194,6 +194,19 @@ class TankSloshingStage2(_TankBase):
         return traj[:, : self.in_tw], traj[:, self.in_tw :]
 
 
+class SimpleTankSloshingData(TankSloshingStage2):
+    """Pixel-space stage-2 twin (reference:
+    twophase_flow_stage2.py:393-761): same windowing, raw fields instead of
+    latents — no encode pre-pass needed."""
+
+    def get_batch(self, indices: np.ndarray):
+        case, start = self._window(indices)
+        tw = self.in_tw + self.out_tw
+        t_idx = start[:, None] + np.arange(tw)[None, :]
+        x = self.normalize(self.fields)[case[:, None], t_idx]
+        return x[:, : self.in_tw], x[:, self.in_tw :]
+
+
 class ConditionalTankSloshingStage2(TankSloshingStage2):
     conditional = True
 
@@ -205,3 +218,18 @@ class ConditionalTankSloshingStage2(TankSloshingStage2):
     def eval_trajectories(self):
         x, y = super().eval_trajectories()
         return x, y, self.normalize_param(self.params_raw)
+
+
+class ConditionalSimpleTankSloshingData(ConditionalTankSloshingStage2):
+    """Conditional pixel-space twin (twophase_flow_stage2.py:547-761)."""
+
+    def get_batch(self, indices: np.ndarray):
+        case, start = self._window(indices)
+        tw = self.in_tw + self.out_tw
+        t_idx = start[:, None] + np.arange(tw)[None, :]
+        x = self.normalize(self.fields)[case[:, None], t_idx]
+        return (
+            x[:, : self.in_tw],
+            x[:, self.in_tw :],
+            self.normalize_param(self.params_raw[case]),
+        )

@@ -35,21 +35,30 @@ def _axial_kernel(kx_ref, ky_ref, phi_ref, o_ref, scratch, scratch2, *, hp: int,
     #   step 2: out[i, l, d] = sum_j kx[i, j] s1[j, l, d]   (per column l)
     h = phi_ref.shape[1]
     w = phi_ref.shape[2]
-    for t in range(hp):
-        kx = kx_ref[0, t]  # [H, H]
-        ky = ky_ref[0, t]  # [W, W]
-        for j in range(h):
+
+    # One pass of each loop covers all packed heads (sequential per-head
+    # loop pairs exposed a Mosaic scheduling hazard between the loops).
+    def row_body(j, _):
+        for t in range(hp):
             phi_j = phi_ref[0, j, :, t * d : (t + 1) * d]  # [W(m), d]
-            scratch[j, :, :] = jnp.dot(
-                ky, phi_j, preferred_element_type=jnp.float32
+            scratch[j, :, t * d : (t + 1) * d] = jnp.dot(
+                ky_ref[0, t], phi_j, preferred_element_type=jnp.float32
             ).astype(scratch.dtype)  # [l, d]
-        for l in range(w):
-            s1_l = scratch[:, l, :]  # [H(j), d]
-            scratch2[l, :, :] = jnp.dot(
-                kx, s1_l, preferred_element_type=jnp.float32
+        return 0
+
+    jax.lax.fori_loop(0, h, row_body, 0)
+
+    def col_body(l, _):
+        for t in range(hp):
+            s1_l = scratch[:, l, t * d : (t + 1) * d]  # [H(j), d]
+            scratch2[l, :, t * d : (t + 1) * d] = jnp.dot(
+                kx_ref[0, t], s1_l, preferred_element_type=jnp.float32
             ).astype(scratch2.dtype)  # [i, d]
-        # scratch2 is [l, i, d]; store the whole head-slab as [i, l, d]
-        o_ref[0, :, :, t * d : (t + 1) * d] = jnp.transpose(scratch2[...], (1, 0, 2))
+        return 0
+
+    jax.lax.fori_loop(0, w, col_body, 0)
+    # scratch2 is [l, i, c]; store the whole block as [i, l, c]
+    o_ref[0] = jnp.transpose(scratch2[...], (1, 0, 2))
 
 
 def axial_kernel_apply(kx, ky, phi, heads: int, interpret: bool = False):
@@ -81,8 +90,8 @@ def axial_kernel_apply(kx, ky, phi, heads: int, interpret: bool = False):
             (1, h, w, hp * d), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, w, d), phi.dtype),
-            pltpu.VMEM((w, h, d), phi.dtype),
+            pltpu.VMEM((h, w, hp * d), phi.dtype),
+            pltpu.VMEM((w, h, hp * d), phi.dtype),
         ],
         interpret=interpret,
     )(kx, ky, phi)

@@ -144,3 +144,32 @@ def test_epoch_batches():
     assert [len(b) for b in batches] == [4, 4, 2]
     all_idx = np.concatenate(batches)
     assert sorted(all_idx) == list(range(10))
+
+
+def test_pixel_space_twins(tmp_path):
+    """SW2DDataSimple / (Conditional)SimpleTankSloshingData equivalents."""
+    from lns_tpu.config import Config
+    from lns_tpu.data import (
+        ConditionalSimpleTankSloshingData,
+        SimpleTankSloshingData,
+        SW2DDataSimple,
+    )
+
+    d = make_twophase_dir(str(tmp_path / "tank"), ncase=6, case_len=5, h=13, w=17)
+    cfg = Config(data_dir=d, case_len=5, dataset_stat=str(tmp_path / "s.npz"),
+                 num_case=6, in_tw=1, out_tw=2, cond_channels=1)
+    ds = SimpleTankSloshingData(cfg, train_mode=True)
+    x_in, x_out = ds.get_batch(np.arange(3))
+    assert x_in.shape == (3, 1, 13, 17, 4) and x_out.shape == (3, 2, 13, 17, 4)
+
+    dsc = ConditionalSimpleTankSloshingData(cfg, train_mode=True)
+    x_in, x_out, p = dsc.get_batch(np.arange(3))
+    assert p.shape == (3,)
+
+    train, test, stats = make_sw_store(str(tmp_path / "sw"), ncase=4, case_len=10,
+                                       h=8, w=16, fmt="npz")
+    cfg = Config(train_data_dir=train, test_data_dir=test, dataset_stat=stats,
+                 case_len=10, num_case=4, out_tw=2)
+    ds = SW2DDataSimple(cfg, train_mode=True)
+    x_in, x_out = ds.get_batch(np.arange(2))
+    assert x_in.shape == (2, 1, 8, 16, 3) and x_out.shape == (2, 2, 8, 16, 3)
