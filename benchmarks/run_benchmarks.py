@@ -1,0 +1,169 @@
+"""Detailed benchmark suite: rollout + train-step throughput for all three
+workloads at the reference's shipped shapes.
+
+    python benchmarks/run_benchmarks.py [--out benchmarks/results.json]
+
+Timing uses the tunnel-safe protocol (in-program chaining + RTT
+subtraction, see lns_tpu.utils.profiling.time_fn). bench.py at the repo
+root remains the driver's single-line entry.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ns2d_cfg():
+    from lns_tpu.config import Config
+
+    return Config(
+        latent_dim=16, Ly=64, Lx=64, resolution=64, in_channels=1,
+        latent_resolution=8, is_periodic=True,
+        encoder_channels=[64, 64, 64, 128, 128], fourier_resolutions=[],
+        encoder_res_blocks=1, use_attn_enc=False, use_fa=True,
+        decoder_channels=[128, 128, 64, 64], attn_resolutions=[16, 32],
+        decoder_res_blocks=1, final_smoothing=False, attn_heads=8, attn_dim=64,
+        disable_coarse_attn=False, prop_n_block=3, prop_n_embd=128, dilation=2,
+        out_tw=2, interval=1, noise_level=0.0,
+    )
+
+
+def sw_cfg():
+    from lns_tpu.config import Config
+
+    return Config(
+        latent_dim=64, Ly=96, Lx=192, resolutions=[96, 192], in_channels=3,
+        latent_resolution=12, periodic_direction="x", hw_ratio=2,
+        encoder_channels=[64, 64, 64, 128, 128], fourier_resolutions=[],
+        encoder_res_blocks=1, use_fa=True, decoder_channels=[128, 128, 64, 64],
+        attn_resolutions=[24, 48], decoder_res_blocks=1, final_smoothing=False,
+        decoder_attn_heads=8, decoder_attn_dim=64, disable_coarse_attn=False,
+        prop_n_block=4, prop_n_embd=128, dilation=3, out_tw=5, noise_level=0.0,
+    )
+
+
+def twophase_cfg():
+    from lns_tpu.config import Config
+
+    return Config(
+        latent_dim=64, Ly=61, Lx=121, resolutions=[61, 121], in_channels=4,
+        latent_resolution=7, is_periodic=False, hw_ratio=2,
+        encoder_channels=[64, 64, 64, 128, 128], fourier_resolutions=[],
+        encoder_res_blocks=1, use_fa=True, decoder_channels=[128, 128, 64, 64],
+        attn_resolutions=[15, 30], decoder_res_blocks=1, final_smoothing=False,
+        decoder_attn_heads=8, decoder_attn_dim=64, disable_coarse_attn=False,
+        prop_n_block=4, prop_n_embd=128, dilation=2, in_tw=1, out_tw=5,
+        noise_level=0.0,
+    )
+
+
+WORKLOADS = {
+    # (cfg fn, field shape, rollout steps, batch)
+    "ns2d": (ns2d_cfg, (64, 64, 1), 29, 32),
+    "sw": (sw_cfg, (96, 192, 3), 42, 8),
+    "twophase": (twophase_cfg, (61, 121, 4), 78, 8),
+}
+
+
+def bench_workload(name, dtype=jnp.bfloat16, reps=8):
+    from lns_tpu.models import LatentDynamics
+    from lns_tpu.utils.profiling import measure_host_rtt
+
+    cfg_fn, shape, steps, batch = WORKLOADS[name]
+    cfg = cfg_fn()
+    model = LatentDynamics(cfg, dtype=dtype, ae_dtype=dtype)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch,) + shape, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x.shape)["params"]
+
+    @jax.jit
+    def rollout_chain(params, x, n):
+        def body(i, carry):
+            y = model.predict(params, carry, steps=steps, to_x=True)
+            return carry + 1e-6 * y[:, -1]
+
+        return jax.lax.fori_loop(0, n, body, x)[0, 0, 0, 0]
+
+    rtt = measure_host_rtt()
+    np.asarray(rollout_chain(params, x, 1))
+    t0 = time.perf_counter()
+    np.asarray(rollout_chain(params, x, reps))
+    dt = time.perf_counter() - t0 - rtt
+    fps = batch * steps / (dt / reps)
+    return {
+        "rollout_steps": steps,
+        "batch": batch,
+        "rollout_ms": round(dt / reps * 1e3, 2),
+        "frames_per_sec_per_chip": round(fps, 1),
+    }
+
+
+def bench_train_step(name, dtype=jnp.float32, reps=10):
+    """Stage-2 rollout-BPTT training step throughput (samples/s)."""
+    import optax
+
+    from lns_tpu.models import LatentDynamics
+    from lns_tpu.utils.profiling import measure_host_rtt
+
+    cfg_fn, shape, steps, _ = WORKLOADS[name]
+    cfg = cfg_fn()
+    model = LatentDynamics(cfg, dtype=dtype, ae_dtype=dtype)
+    batch = 32
+    lr_h = cfg.latent_resolution
+    lr_w = {"ns2d": 8, "sw": 24, "twophase": 15}[name]
+    z_in = jax.random.normal(jax.random.PRNGKey(1), (batch, 1, lr_h, lr_w, cfg.latent_dim))
+    z_out = jax.random.normal(jax.random.PRNGKey(2), (batch, cfg.out_tw, lr_h, lr_w, cfg.latent_dim))
+    params = model.init(jax.random.PRNGKey(0), (1,) + shape)["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params["propagator"])
+
+    @jax.jit
+    def step_chain(prop_params, opt_state, n):
+        def body(i, carry):
+            pp, os_ = carry
+
+            def loss_fn(q):
+                return model.rollout_loss({"vq_ae": params["vq_ae"], "propagator": q}, z_in, z_out)
+
+            loss, grads = jax.value_and_grad(loss_fn)(pp)
+            updates, os_ = tx.update(grads, os_, pp)
+            return optax.apply_updates(pp, updates), os_
+
+        pp, _ = jax.lax.fori_loop(0, n, body, (prop_params, opt_state))
+        return jax.tree.leaves(pp)[0].ravel()[0]
+
+    rtt = measure_host_rtt()
+    np.asarray(step_chain(params["propagator"], opt_state, 1))
+    t0 = time.perf_counter()
+    np.asarray(step_chain(params["propagator"], opt_state, reps))
+    dt = time.perf_counter() - t0 - rtt
+    return {
+        "train_step_ms": round(dt / reps * 1e3, 2),
+        "train_samples_per_sec": round(batch / (dt / reps), 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--workloads", default="ns2d,sw,twophase")
+    p.add_argument("--train-steps", action="store_true", help="also bench train steps")
+    args = p.parse_args()
+
+    results = {"device": str(jax.devices()[0])}
+    for name in args.workloads.split(","):
+        r = bench_workload(name)
+        if args.train_steps:
+            r.update(bench_train_step(name))
+        results[name] = r
+        print(f"{name}: {json.dumps(r)}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

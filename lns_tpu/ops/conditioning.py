@@ -24,6 +24,27 @@ def zeros_init_module(key, shape, dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
 
 
+def embed_sequential(layers, x, emb):
+    """EmbedSequential equivalent (reference: cond_utils.py:47-55): apply a
+    sequence of callables, routing `emb` only to conditioned layers (those
+    whose call signature takes two positional inputs)."""
+    import inspect
+
+    for layer in layers:
+        fn = layer.__call__ if hasattr(layer, "__call__") else layer
+        try:
+            n_args = len(
+                [p for p in inspect.signature(fn).parameters.values()
+                 if p.default is inspect.Parameter.empty
+                 and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                 and p.name != "self"]
+            )
+        except (TypeError, ValueError):
+            n_args = 1
+        x = layer(x, emb) if n_args >= 2 else layer(x)
+    return x
+
+
 class CondResidualBlock(nn.Module):
     """Wide residual block with conditioning vector injection.
 

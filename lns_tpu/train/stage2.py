@@ -102,6 +102,12 @@ class Stage2Trainer:
         self.noise_level = float(cfg.noise_level or 0.0)
 
         self._train_step = self._build_train_step()
+        self._predict_cache = {}
+
+        # optional mid-training resume (the reference saves optim/sched state
+        # but never reloads it; restartability here is full)
+        if cfg.resume_training and cfg.resume_ckpt:
+            self.load(cfg.resume_ckpt)
 
     def _field_shape(self):
         cfg = self.cfg
@@ -189,12 +195,16 @@ class Stage2Trainer:
             cond_all = None
         n, steps = y.shape[0], y.shape[1]
 
-        predict = jax.jit(
-            lambda p, x, c: self.model.predict(p, x, steps, cond=c, to_x=True),
-            static_argnums=(),
-        ) if self.conditional else jax.jit(
-            lambda p, x: self.model.predict(p, x, steps, to_x=True)
-        )
+        if steps not in self._predict_cache:
+            if self.conditional:
+                self._predict_cache[steps] = jax.jit(
+                    lambda p, x, c: self.model.predict(p, x, steps, cond=c, to_x=True)
+                )
+            else:
+                self._predict_cache[steps] = jax.jit(
+                    lambda p, x: self.model.predict(p, x, steps, to_x=True)
+                )
+        predict = self._predict_cache[steps]
 
         frame_errs, seq_errs = [], []
         sample_pred = sample_gt = None
@@ -238,3 +248,16 @@ class Stage2Trainer:
         ckpt = os.path.join(self.cfg.log_dir, "checkpoints")
         save_pytree(self.params, os.path.join(ckpt, f"model_{epoch}.msgpack"))
         save_pytree(self.opt_state, os.path.join(ckpt, f"optim_{epoch}.msgpack"))
+
+    def load(self, model_path: str):
+        """Resume from a saved model (+ optimizer state when present)."""
+        from lns_tpu.train.checkpoint import load_pytree
+
+        params = load_latent_dynamics_checkpoint(self.cfg, model_path, self.params)
+        self.ae_params = params["vq_ae"]
+        self.prop_params = params["propagator"]
+        optim_path = model_path.replace("model_", "optim_")
+        if model_path != optim_path and os.path.exists(optim_path):
+            self.opt_state = load_pytree(self.opt_state, optim_path)
+        # the train step closes over ae_params; rebuild
+        self._train_step = self._build_train_step()

@@ -94,3 +94,20 @@ def test_half_periodic_disable_coarse():
     raw = yaml.safe_load(open(f"{CFG_DIR}/SW_stage1_ae.yml"))
     raw = dict(raw, disable_coarse_attn=True)
     _round_trip(raw, "autoencoder2d_half_periodic", (1, 3, 96, 192))
+
+
+def test_multi_res_blocks_periodic(ns2d_raw):
+    raw = dict(ns2d_raw, encoder_res_blocks=2, decoder_res_blocks=2)
+    _round_trip(raw, "autoencoder2d", (1, 1, 64, 64))
+
+
+def test_multi_res_blocks_nonsquared():
+    raw = yaml.safe_load(open(f"{CFG_DIR}/twophase_stage1_ae.yml"))
+    raw = dict(raw, encoder_res_blocks=2, decoder_res_blocks=2)
+    _round_trip(raw, "autoencoder2d_nonsquared", (1, 4, 61, 121))
+
+
+def test_multi_res_blocks_half_periodic():
+    raw = yaml.safe_load(open(f"{CFG_DIR}/SW_stage1_ae.yml"))
+    raw = dict(raw, encoder_res_blocks=2, decoder_res_blocks=2)
+    _round_trip(raw, "autoencoder2d_half_periodic", (1, 3, 96, 192))

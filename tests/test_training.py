@@ -34,6 +34,10 @@ def test_stage1_trains_and_checkpoints(ns2d_cfg):
 
 
 def test_stage2_trains_from_stage1_ckpt(ns2d_cfg, tmp_path):
+    ckpt = os.path.join(ns2d_cfg.log_dir, "checkpoints", "vqgan_epoch_final.msgpack")
+    if not os.path.exists(ckpt):  # independent of test ordering
+        t1 = Stage1Trainer(ns2d_cfg, use_wandb=False)
+        t1.save("final")
     cfg2 = ns2d_cfg.replace(
         log_dir=str(tmp_path / "s2"),
         pretrained_checkpoint_path=os.path.join(
