@@ -4,10 +4,15 @@ modules/factorized_attention.py).
 FABlock2D builds one n x n integral kernel per spatial axis from pooled
 axis descriptors (no softmax — a low-rank kernel a la the factorized
 transformer), then applies them sequentially as batched matmuls:
-O(h^2 + w^2) instead of O((hw)^2). Both kernel applications are einsums
-that map straight onto the MXU; the per-axis kernels are tiny (<= 96x96 at
-the resolutions used), so the whole block is matmul-bound — exactly what
-TPU wants.
+O(h^2 + w^2) instead of O((hw)^2).
+
+TPU mapping: the value tensor u_phi runs HEAD-MAJOR [b, heads, H, W, d]
+through the whole block — the channel->head-major relayout is folded into
+the in/out projection matmuls (einsum output layouts), the per-head axial
+matmuls are packed block-diagonally into full 128-wide MXU contractions,
+and instance-norm statistics are computed directly on the head-major
+layout. This removes every standalone GB-scale transpose the naive einsum
+formulation emits (profiled: those copies dominated decode time).
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ import jax.numpy as jnp
 from lns_tpu.ops.activations import gelu
 from lns_tpu.ops.conv import Conv1x1, Dense
 from lns_tpu.ops.embedding import apply_rotary_pos_emb, rotary_freqs
+from lns_tpu.ops.initializers import torch_linear_kernel_init
 from lns_tpu.ops.norms import GroupNorm, LayerNorm, instance_norm_2d
 
 
@@ -54,7 +60,7 @@ class LowRankKernel(nn.Module):
             freqs = rotary_freqs(pos, self.dim_head)  # [1, n, d]
             freqs = jnp.broadcast_to(
                 freqs[:, None], (q.shape[0], q.shape[1], n, self.dim_head)
-            )
+            ).astype(q.dtype)
             q = apply_rotary_pos_emb(q, freqs)
             k = apply_rotary_pos_emb(k, freqs)
         K = jnp.einsum("bhid,bhjd->bhij", q, k) * self.scaling
@@ -84,6 +90,82 @@ class PoolingReducer(nn.Module):
         return x  # [b, n1, out_dim]
 
 
+class _Kernel(nn.Module):
+    """Bare kernel-parameter holder: same param path/shape as a bias-free
+    Conv1x1 (so torch-checkpoint conversion is unchanged) but exposes the
+    [in, out] matrix for custom-layout einsums."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", torch_linear_kernel_init, (self.in_features, self.features)
+        )
+
+
+def _blockdiag(k, group: int):
+    """[B, heads, n, n] -> [B, heads/group, group*n, group*n] block-diagonal
+    embedding of the per-head axial kernels."""
+    b, heads, n, _ = k.shape
+    g = heads // group
+    k5 = k.reshape(b, g, group, n, n)
+    eye = jnp.eye(group, dtype=k.dtype)
+    out = jnp.einsum("bgpij,pq->bgpiqj", k5, eye)
+    return out.reshape(b, g, group * n, group * n)
+
+
+def _pack_group(heads: int, n: int) -> int:
+    g = max(1, min(heads, 128 // max(1, n)))
+    while heads % g:
+        g -= 1
+    return g
+
+
+def axial_apply_headmajor(k_x, k_y, phi, precision=None):
+    """Axial kernel application on head-major values.
+
+    k_x: [B, heads, H, H]; k_y: [B, heads, W, W]; phi: [B, heads, H, W, d]
+    -> [B, heads, H, W, d].
+
+    The per-head contractions are K=M=n (n <= 96) — tiny matmuls that
+    starve the 128x128 MXU; packing `group` heads block-diagonally makes
+    each application one [group*n, group*n] @ [group*n, other*d] matmul
+    with full MXU tiles (<= 4x structural-zero MACs, still net faster).
+    """
+    b, heads, h, w, d = phi.shape
+    group_h = _pack_group(heads, h)
+    group_w = _pack_group(heads, w)
+
+    # rows: contract j over H -> [B, g, (p H), W*d]
+    kxb = _blockdiag(k_x, group_h)
+    ph = phi.reshape(b, heads // group_h, group_h * h, w * d)
+    ph = jnp.einsum("bgxy,bgyz->bgxz", kxb, ph, precision=precision)
+    phi = ph.reshape(b, heads, h, w, d)
+
+    # cols: contract m over W (one h<->w transpose, folded back below)
+    kyb = _blockdiag(k_y, group_w)
+    pw = phi.transpose(0, 1, 3, 2, 4).reshape(b, heads // group_w, group_w * w, h * d)
+    pw = jnp.einsum("bgxy,bgyz->bgxz", kyb, pw, precision=precision)
+    return pw.reshape(b, heads, w, h, d).transpose(0, 1, 3, 2, 4)
+
+
+def instance_norm_headmajor(phi, eps: float = 1e-5):
+    """InstanceNorm2d on head-major [b, n, h, w, d]: per (b, n, d) channel
+    over (h, w) — identical math to NHWC instance_norm_2d."""
+    mean = jnp.mean(phi, axis=(2, 3), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(phi.astype(jnp.float32) - mean), axis=(2, 3), keepdims=True
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    if phi.dtype == jnp.float32:
+        return (phi - mean) * inv
+    # low-precision activations: stats in f32, normalize arithmetic at
+    # activation width (keeps every HBM pass at bf16 width)
+    return (phi - mean.astype(phi.dtype)) * inv.astype(phi.dtype)
+
+
 class FABlock2D(nn.Module):
     """Factorized attention block on NHWC fields (reference:
     factorized_attention.py:97-160).
@@ -109,13 +191,18 @@ class FABlock2D(nn.Module):
         # u: [b, h, w, c]
         u_skip = u
         u = GroupNorm(1, self.dim, eps=1e-5, name="in_norm")(u)
-        u_phi = Conv1x1(self.heads * self.dim_head, use_bias=False, name="in_proj")(u)
-        u = Conv1x1(self.dim, use_bias=False, name="to_in")(u)
 
-        u_x = PoolingReducer(self.dim, self.dim, self.latent_dim, name="to_x")(u)
+        # head-major projection: fold the (channel -> head) relayout into
+        # the matmul output layout instead of a standalone transpose
+        w_in = _Kernel(self.dim, self.heads * self.dim_head, name="in_proj")()
+        w_in = w_in.reshape(self.dim, self.heads, self.dim_head).astype(u.dtype)
+        u_phi = jnp.einsum("bhwc,cnd->bnhwd", u, w_in)  # [b, heads, H, W, d]
+
+        u_in = Conv1x1(self.dim, use_bias=False, name="to_in")(u)
+        u_x = PoolingReducer(self.dim, self.dim, self.latent_dim, name="to_x")(u_in)
         # transpose spatial axes, then pool -> per-column descriptors
         u_y = PoolingReducer(self.dim, self.dim, self.latent_dim, name="to_y")(
-            u.transpose(0, 2, 1, 3)
+            u_in.transpose(0, 2, 1, 3)
         )
 
         kd = self.dim_head * self.kernel_multiplier
@@ -128,30 +215,31 @@ class FABlock2D(nn.Module):
             qk_norm=self.qk_norm, name="low_rank_kernel_y",
         )(u_y)  # [b, heads, w, w]
 
-        b, h, w, _ = u_phi.shape
-        # Split the head axis off the (row-major) channel dim — a free
-        # reshape, never a materialized transpose. Both axial applications
-        # keep the tensor in [b, row, col, head, d] layout so the only data
-        # movement is the matmuls themselves (the reference's einsums
-        # 'bhij,bhcjm->bhcim' / 'bhlm,bhcim->bhcil' in channels-last form).
         from lns_tpu.pallas_kernels.backend import enabled as pallas_enabled
 
         if pallas_enabled():
             # fused Pallas path: both axial matmuls per (sample, head) in
             # VMEM — one HBM read + write of phi
-            from lns_tpu.pallas_kernels.axial_attention import axial_kernel_apply
-
-            phi = axial_kernel_apply(
-                k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi, self.heads
+            from lns_tpu.pallas_kernels.axial_attention import (
+                axial_kernel_apply_headmajor,
             )
-        else:
-            phi = u_phi.reshape(b, h, w, self.heads, self.dim_head)
-            phi = jnp.einsum("bnij,bjwnd->biwnd", k_x, phi)
-            phi = jnp.einsum("bnlm,bimnd->bilnd", k_y, phi)
-            phi = phi.reshape(b, h, w, self.heads * self.dim_head)
 
-        out = instance_norm_2d(phi)
-        out = Conv1x1(self.dim_out, use_bias=False, name="out_fc1")(out)
+            b, n, h, w, d = u_phi.shape
+            phi = axial_kernel_apply_headmajor(
+                k_x.astype(u_phi.dtype).reshape(b * n, h, h),
+                k_y.astype(u_phi.dtype).reshape(b * n, w, w),
+                u_phi.reshape(b * n, h, w, d),
+            ).reshape(b, n, h, w, d)
+        else:
+            phi = axial_apply_headmajor(
+                k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi
+            )
+
+        out = instance_norm_headmajor(phi)
+        # fold the (head-major -> channel) relayout into out_fc1
+        w_o1 = _Kernel(self.heads * self.dim_head, self.dim_out, name="out_fc1")()
+        w_o1 = w_o1.reshape(self.heads, self.dim_head, self.dim_out).astype(out.dtype)
+        out = jnp.einsum("bnhwd,ndo->bhwo", out, w_o1)
         out = gelu(out)
         out = Conv1x1(self.dim_out, use_bias=False, name="out_fc2")(out)
         return out + u_skip

@@ -47,18 +47,17 @@ def test_fablock_pallas_path_matches_xla_path():
     p = fab.init(jax.random.PRNGKey(1), x)
     backend.set_enabled(False)
     ref = fab.apply(p, x)
+    import lns_tpu.pallas_kernels.axial_attention as ax
+
+    orig = ax.axial_kernel_apply_headmajor
     try:
         # pallas path in interpret mode (CPU)
-        import lns_tpu.pallas_kernels.axial_attention as ax
-
-        orig = ax.axial_kernel_apply
-        ax.axial_kernel_apply = lambda kx, ky, phi, heads, interpret=False: orig(
-            kx, ky, phi, heads, interpret=True
+        ax.axial_kernel_apply_headmajor = lambda kx, ky, phi, interpret=False: orig(
+            kx, ky, phi, interpret=True
         )
         backend.set_enabled(True)
         out = fab.apply(p, x)
-        ax.axial_kernel_apply = orig
     finally:
         backend.set_enabled(None)
-        ax.axial_kernel_apply = orig
+        ax.axial_kernel_apply_headmajor = orig
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=5e-5)
