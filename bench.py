@@ -8,8 +8,9 @@ case_len 30, interval 1) — as a single jitted program on one chip.
 
 Timing protocol: the axon tunnel adds ~30 ms host round-trip latency and
 its block_until_ready does not block, so R rollouts are chained *inside*
-one jitted fori_loop (data-dependent carry, no dead code) and the single
-host fetch RTT (measured separately) is subtracted.
+one jitted fori_loop (data-dependent carry, no dead code) and the run time
+of a 1-iteration call is subtracted from a (1+R)-iteration call (min of 3
+each) — the difference cancels host RTT exactly.
 
 Baseline: the reference implementation decodes inside a Python loop on an
 A100 (estimated ~5,000 frames/s at batch 32; BASELINE.md "A100 estimate").
@@ -67,28 +68,22 @@ def build():
     return rollout_chain, params, x
 
 
-def measure_rtt():
-    @jax.jit
-    def triv(x):
-        return x[0, 0, 0, 0] + 1.0
-
-    x = jnp.zeros((1, 1, 1, 1))
-    np.asarray(triv(x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(triv(x))
-    return (time.perf_counter() - t0) / 5
-
-
 def main():
     rollout_chain, params, x = build()
-    rtt = measure_rtt()
-    np.asarray(rollout_chain(params, x, 2))  # compile + warmup
+    np.asarray(rollout_chain(params, x, 1))  # compile + warmup
 
-    t0 = time.perf_counter()
-    np.asarray(rollout_chain(params, x, REPS))
-    dt = time.perf_counter() - t0 - rtt
-    per_rollout = dt / REPS
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(rollout_chain(params, x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # difference method cancels the host round-trip entirely
+    t1 = timed(1)
+    tn = timed(1 + REPS)
+    per_rollout = (tn - t1) / REPS
 
     fps = BATCH * STEPS / per_rollout
     print(json.dumps({
