@@ -139,6 +139,7 @@ def axial_apply_headmajor(k_x, k_y, phi, precision=None):
     group_w = _pack_group(heads, w)
 
     # rows: contract j over H -> [B, g, (p H), W*d]
+    # (4D batched form measures faster than folding g into the batch dim)
     kxb = _blockdiag(k_x, group_h)
     ph = phi.reshape(b, heads // group_h, group_h * h, w * d)
     ph = jnp.einsum("bgxy,bgyz->bgxz", kxb, ph, precision=precision)

@@ -45,6 +45,20 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def make_global_batch(mesh: Mesh, local_batch, axis_name: str = "data"):
+    """Multi-host assembly: each host contributes its process-local shard of
+    the global batch (per-host sharded data loading, SURVEY section 5 comm
+    backend row). On a single-host mesh this degrades to `shard_batch`."""
+    import jax
+
+    sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), local_batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), local_batch
+    )
+
+
 def pad_to_multiple(batch, multiple: int):
     """Pad the leading axis of every array to a multiple of the mesh size so
     shardings stay valid on ragged final batches; returns (padded, n_valid)."""
