@@ -113,3 +113,19 @@ def test_rollout_loss_gradients_flow_through_time(tmp_path):
     )(params["propagator"])
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert total > 0
+
+
+def test_bf16_rollout_close_to_f32(tmp_path):
+    """The bf16 benchmark path must track the f32 rollout (short horizon,
+    random-init weights — loose bound, just guards against blowups)."""
+    cfg = synthetic_config("ns2d", str(tmp_path), epochs=1)
+    from lns_tpu.models import LatentDynamics
+
+    m32 = LatentDynamics(cfg)
+    m16 = LatentDynamics(cfg, dtype=jnp.bfloat16, ae_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    params = m32.init(jax.random.PRNGKey(0), x.shape)["params"]
+    y32 = np.asarray(m32.predict({"params": params}, x, 5, to_x=True), np.float32)
+    y16 = np.asarray(m16.predict({"params": params}, x, 5, to_x=True), np.float32)
+    rel = np.linalg.norm(y16 - y32) / (np.linalg.norm(y32) + 1e-8)
+    assert rel < 0.15, rel
