@@ -157,6 +157,60 @@ def export_autoencoder(cfg, params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
+def export_propagator(cfg, params: Dict[str, Any], prefix: str = "propagator") -> Dict[str, np.ndarray]:
+    """SimpleCNN / conditional SimpleCNN params -> reference trainer keys."""
+    out: Dict[str, np.ndarray] = {}
+    pre = prefix + "." if prefix else ""
+    hp = cfg.workload == "sw"
+
+    def put3(pf, p):
+        _put_conv(out, pf, p["conv"] if hp else p, pointwise=False)
+
+    _put_conv(out, f"{pre}in_proj", params["in_proj"], pointwise=True)
+    if cfg.is_conditional:
+        _put_linear(out, f"{pre}cond_emb_proj.0", params["cond_proj_fc1"])
+        _put_linear(out, f"{pre}cond_emb_proj.2", params["cond_proj_fc2"])
+        for i in range(cfg.prop_n_block):
+            b = params[f"net{i}"]
+            pf = f"{pre}net.{i}"
+            _put_linear(out, f"{pf}.cond_emb", b["cond_emb"])
+            _put_norm(out, f"{pf}.conv1.0", b["conv1_gn"])
+            _put_conv(out, f"{pf}.conv1.1", b["conv1_a"])
+            _put_conv(out, f"{pf}.conv1.3", b["conv1_b"])
+            _put_norm(out, f"{pf}.cond_conv1.0", b["cond_conv1_gn"])
+            _put_conv(out, f"{pf}.cond_conv1.2", b["cond_conv1"])
+            _put_norm(out, f"{pf}.cond_conv2.0", b["cond_conv2_gn"])
+            _put_conv(out, f"{pf}.cond_conv2.1", b["cond_conv2_fc1"], pointwise=True)
+            _put_conv(out, f"{pf}.cond_conv2.3", b["cond_conv2_fc2"], pointwise=True)
+            _put_norm(out, f"{pf}.ffn.0", b["ffn_gn"])
+            _put_conv(out, f"{pf}.ffn.1", b["ffn_fc1"], pointwise=True, bias=False)
+            _put_conv(out, f"{pf}.ffn.3", b["ffn_fc2"], pointwise=True, bias=False)
+    else:
+        for i in range(cfg.prop_n_block):
+            b = params[f"net{i}"]
+            pf = f"{pre}net.{i}"
+            _put_norm(out, f"{pf}.conv.0", b["conv_gn"])
+            put3(f"{pf}.conv.1", b["conv1"])
+            put3(f"{pf}.conv.3", b["conv2"])
+            put3(f"{pf}.conv.5", b["conv3"])
+            _put_norm(out, f"{pf}.ffn.0", b["ffn_gn"])
+            _put_conv(out, f"{pf}.ffn.1", b["ffn_fc1"], pointwise=True, bias=False)
+            _put_conv(out, f"{pf}.ffn.3", b["ffn_fc2"], pointwise=True, bias=False)
+    _put_norm(out, f"{pre}out_proj.0.gn", params["out_gn"])
+    _put_conv(out, f"{pre}out_proj.1", params["out_proj"], pointwise=True)
+    return out
+
+
+def export_latent_dynamics(cfg, params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """{vq_ae, propagator} params -> stage-2 model_*.pt state dict."""
+    ae_attr = "ae" if cfg.is_conditional else "vq_ae"
+    out: Dict[str, np.ndarray] = {}
+    ae = export_autoencoder(cfg, params["vq_ae"])
+    out.update({f"{ae_attr}.{k}": v for k, v in ae.items()})
+    out.update(export_propagator(cfg, params["propagator"]))
+    return out
+
+
 def save_torch_checkpoint(state: Dict[str, np.ndarray], path: str) -> None:
     import torch
 

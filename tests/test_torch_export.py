@@ -46,3 +46,29 @@ def test_export_loads_strict_and_matches(cfg_name, mod_name, shape, tmp_path):
         yt = tae(x)
     yj = jae.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.array(yj), yt.numpy().transpose(0, 2, 3, 1), atol=3e-4)
+
+
+def test_export_latent_dynamics_roundtrip(tmp_path):
+    """Stage-2 dynamics export -> reference trainer strict load + parity."""
+    from lns_tpu.models import LatentDynamics
+    from lns_tpu.utils.torch_export import export_latent_dynamics
+
+    cfg = load_config(f"{CFG_DIR}/ns2d_stage2_prop.yml")
+    model = LatentDynamics(cfg)
+    params = model.init(jax.random.PRNGKey(0), (1, 64, 64, 1))["params"]
+    state = export_latent_dynamics(cfg, params)
+
+    raw = yaml.safe_load(open(f"{CFG_DIR}/ns2d_stage2_prop.yml"))
+    raw.setdefault("use_attn_enc", None)
+    t = REF.trainers["train_stage2_ns2d"]
+    tmodel = t.LatentDynamics(reference_namespace(raw)).eval()
+    tmodel.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in state.items()},
+                           strict=True)
+
+    x = torch.randn(2, 1, 64, 64)
+    with torch.no_grad():
+        yt = tmodel.predict(x, 3, to_x=True)
+    yj = model.predict({"params": params},
+                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), 3, to_x=True)
+    np.testing.assert_allclose(np.array(yj), yt.numpy().transpose(0, 1, 3, 4, 2),
+                               atol=3e-4)
