@@ -28,7 +28,7 @@ import numpy as np
 
 A100_TORCH_BASELINE_FPS = 5000.0  # estimated reference throughput (BASELINE.md)
 
-BATCH = 32
+BATCH = int(__import__("os").environ.get("LNS_BENCH_BATCH", "32"))
 STEPS = 29
 REPS = 20
 
