@@ -32,6 +32,35 @@ def load_pytree(template: Any, path: str) -> Any:
     return serialization.from_bytes(template, data)
 
 
+class AsyncCheckpointer:
+    """Orbax-backed async checkpointing (optional, for large-scale runs):
+    saves proceed in the background so the train loop never blocks on IO.
+    Falls back to synchronous msgpack saves when orbax is unavailable."""
+
+    def __init__(self):
+        try:
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        except Exception:
+            self._ckptr = None
+
+    def save(self, path: str, tree: Any):
+        if self._ckptr is None:
+            save_pytree(tree, path + ".msgpack")
+            return
+        self._ckptr.save(path, jax.tree.map(np.asarray, tree))
+
+    def restore(self, path: str, template: Any):
+        if self._ckptr is None:
+            return load_pytree(template, path + ".msgpack")
+        return self._ckptr.restore(path, item=template)
+
+    def wait(self):
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
+
 def load_autoencoder_checkpoint(cfg, path: str, template: Optional[Any] = None) -> Dict:
     """Load stage-1 AE params from either a reference torch .pt or a native
     .msgpack checkpoint."""

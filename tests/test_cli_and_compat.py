@@ -92,3 +92,17 @@ def test_evaluate_cli(tmp_path):
     metrics = json.load(open(out_path))
     assert "seq_rel_l2" in metrics and np.isfinite(metrics["seq_rel_l2"])
     assert len(metrics["frame_rel_l2_vs_time"]) == metrics["rollout_steps"]
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    from lns_tpu.train.checkpoint import AsyncCheckpointer
+
+    c = AsyncCheckpointer()
+    tree = {"a": np.arange(6).reshape(2, 3).astype(np.float32),
+            "b": {"c": np.ones(4, np.float32)}}
+    path = str(tmp_path / "ckpt")
+    c.save(path, tree)
+    c.wait()
+    back = c.restore(path, tree)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -207,3 +207,52 @@ def test_rotary_parity():
         jnp.asarray(q.numpy()), jnp.broadcast_to(np.array(fj)[:, None], (1, 2, 7, 32))
     )
     np.testing.assert_allclose(np.array(yj), yt.numpy(), atol=1e-5)
+
+
+def test_lablock_parity():
+    torch.manual_seed(0)
+    lab = REF.basics.LABlock(64, 4, 16, use_pe=True, block_size=64).eval()
+    r = reader(lab)
+    params = {
+        "ln": tc._norm(r, "ln"),
+        "to_q": tc._linear(r, "to_q", bias=False),
+        "to_k": tc._linear(r, "to_k", bias=False),
+        "to_v": tc._linear(r, "to_v"),
+        "proj_out": tc._linear(r, "proj_out"),
+        "pe": r.take("pe"),
+    }
+    jlab = ops.LABlock(64, 4, 16, use_pe=True, block_size=64)
+    x = torch.randn(2, 64, 8, 8)
+    with torch.no_grad():
+        yt = lab(x)
+    yj = jlab.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(np.array(yj), nhwc(yt), atol=1e-5)
+
+
+def test_cablock_parity():
+    """Reference CABlock un-reshape condition is inverted (basics.py:526):
+    with channel_last=False it returns token-shaped [b, n, c]; our fixed
+    block restores spatial layout — compare on the flattened tokens."""
+    torch.manual_seed(0)
+    cab = REF.basics.CABlock(32, 16, 4, 8).eval()
+    r = reader(cab)
+    params = {
+        "ln_x": tc._norm(r, "ln_x"),
+        "ln_y": tc._norm(r, "ln_y"),
+        "to_q": tc._linear(r, "to_q", bias=False),
+        "to_k": tc._linear(r, "to_k", bias=False),
+        "to_v": tc._linear(r, "to_v"),
+        "proj_out": tc._linear(r, "proj_out"),
+    }
+    jcab = ops.CABlock(32, 16, 4, 8)
+    x = torch.randn(2, 32, 4, 6)
+    ctx = torch.randn(2, 5, 16)
+    with torch.no_grad():
+        yt = cab(x, ctx)  # [b, n, c] due to the reference bug
+    yj = jcab.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(nhwc(x)),
+        jnp.asarray(ctx.numpy()),
+    )
+    yj_tokens = np.array(yj).reshape(2, 24, 32)
+    np.testing.assert_allclose(yj_tokens, yt.numpy(), atol=1e-5)
