@@ -83,23 +83,36 @@ class LatentDynamics:
         return self.propagator.apply(prop, z)
 
     # -- training rollout ---------------------------------------------------
-    def rollout_loss(self, params, z_in, z_out, cond=None, loss_fn=smooth_l1_loss):
+    def rollout_loss(self, params, z_in, z_out, cond=None, loss_fn=smooth_l1_loss,
+                     remat: Optional[bool] = None):
         """Pure latent rollout training loss (reference forward,
         train_stage2_ns2d.py:126-141): feed predictions back `t_out` times,
         smooth-L1 against precomputed latent targets. Full BPTT through the
         scan (t_out <= 5 in all shipped configs — unrolled).
+
+        With `remat` (or cfg.remat) the propagator step is rematerialized in
+        the backward pass — trades ~1 extra forward per step for O(1)
+        activation memory in the rollout length, for long-horizon BPTT.
 
         z_in: [b, 1, h, w, c]; z_out: [b, t_out, h, w, c].
         """
         t_out = z_out.shape[1]
         z = z_in[:, 0]  # squeeze only the time axis (fixes reference defect
         # 2.10-11: z_in.squeeze() broke batch-size-1)
+        use_remat = bool(self.cfg.remat) if remat is None else remat
+
+        def step_fn(carry):
+            return self.propagate(params, carry, cond)
+
+        if use_remat:
+            step_fn = jax.checkpoint(step_fn)
 
         def step(carry, _):
-            z_new = self.propagate(params, carry, cond)
+            z_new = step_fn(carry)
             return z_new, z_new
 
-        _, z_pred = lax.scan(step, z, None, length=t_out, unroll=True)
+        _, z_pred = lax.scan(step, z, None, length=t_out,
+                             unroll=not use_remat)
         z_pred = jnp.moveaxis(z_pred, 0, 1)  # [b, t_out, ...]
         return loss_fn(z_pred, z_out)
 

@@ -129,3 +129,24 @@ def test_bf16_rollout_close_to_f32(tmp_path):
     y16 = np.asarray(m16.predict({"params": params}, x, 5, to_x=True), np.float32)
     rel = np.linalg.norm(y16 - y32) / (np.linalg.norm(y32) + 1e-8)
     assert rel < 0.15, rel
+
+
+def test_remat_rollout_matches_standard(tmp_path):
+    """jax.checkpoint rematerialization must not change loss or gradients."""
+    cfg = synthetic_config("ns2d", str(tmp_path), epochs=1)
+    from lns_tpu.models import LatentDynamics
+
+    model = LatentDynamics(cfg)
+    params = model.init(jax.random.PRNGKey(0), (2, 32, 32, 1))["params"]
+    z_in = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 8, 8, cfg.latent_dim))
+    z_out = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 8, 8, cfg.latent_dim))
+
+    def loss(pp, remat):
+        return model.rollout_loss({"vq_ae": params["vq_ae"], "propagator": pp},
+                                  z_in, z_out, remat=remat)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params["propagator"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params["propagator"])
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
