@@ -256,3 +256,74 @@ def test_cablock_parity():
     )
     yj_tokens = np.array(yj).reshape(2, 24, 32)
     np.testing.assert_allclose(yj_tokens, yt.numpy(), atol=1e-5)
+
+
+def test_resfno_mixer_parity():
+    torch.manual_seed(0)
+    mx = REF.basics.ResFNOMixerBlock(16, 16, modes=[4, 4], norm="in").eval()
+    r = reader(mx)
+    params = {
+        "token_mixer": {"weights1": r.take("token_mixer.weights1"),
+                        "weights2": r.take("token_mixer.weights2")},
+        "cm_norm": tc._norm(r, "channel_mixer.0"),
+        "cm_fc1": tc._conv(r, "channel_mixer.1", pointwise=True),
+        "cm_fc2": tc._conv(r, "channel_mixer.3", pointwise=True),
+    }
+    from lns_tpu.ops.fno import ResFNOMixerBlock
+
+    jmx = ResFNOMixerBlock(16, 16, (4, 4), norm="in")
+    x = torch.randn(2, 16, 16, 16)
+    with torch.no_grad():
+        yt = mx(x)
+    yj = jmx.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(np.array(yj), nhwc(yt), atol=1e-5)
+
+
+def test_cond_resfno_mixer_parity():
+    torch.manual_seed(0)
+    mx = REF.basics.CondResFNOMixerBlock(16, 16, modes=[4, 4], norm="in").eval()
+    with torch.no_grad():  # exercise the zero-init gate
+        mx.cond_conv[2].weight.normal_(0, 0.05)
+        mx.cond_conv[2].bias.normal_(0, 0.05)
+    r = reader(mx)
+    params = {
+        "token_mixer": {"weights1": r.take("token_mixer.weights1"),
+                        "weights2": r.take("token_mixer.weights2")},
+        "cm_norm": tc._norm(r, "channel_mixer.0"),
+        "cm_fc1": tc._conv(r, "channel_mixer.1", pointwise=True),
+        "cm_fc2": tc._conv(r, "channel_mixer.3", pointwise=True),
+        "cond_fc1": tc._conv(r, "cond_conv.0", pointwise=True),
+        "cond_fc2": tc._conv(r, "cond_conv.2", pointwise=True),
+    }
+    from lns_tpu.ops.fno import CondResFNOMixerBlock
+
+    jmx = CondResFNOMixerBlock(16, 16, (4, 4), norm="in")
+    x = torch.randn(2, 16, 16, 16)
+    emb = torch.randn(2, 16)
+    with torch.no_grad():
+        yt = mx(x, emb)
+    yj = jmx.apply({"params": jax.tree.map(jnp.asarray, params)},
+                   jnp.asarray(nhwc(x)), jnp.asarray(emb.numpy()))
+    np.testing.assert_allclose(np.array(yj), nhwc(yt), atol=1e-5)
+
+
+def test_sirennet_parity():
+    torch.manual_seed(0)
+    net = REF.embedding.SirenNet(dim_in=2, dim_hidden=32, dim_out=4,
+                                 num_layers=3, normalize_input=True).eval()
+    r = reader(net)
+    params = {}
+    for i in range(3):
+        params[f"siren_{i}"] = {
+            "kernel": r.take(f"layers.{i}.weight").T,
+            "bias": r.take(f"layers.{i}.bias"),
+        }
+    params["last_layer"] = tc._linear(r, "last_layer")
+    jnet = ops.SirenNet(dim_in=2, dim_hidden=32, dim_out=4, num_layers=3,
+                        normalize_input=True)
+    x = torch.rand(2, 7, 2)
+    with torch.no_grad():
+        yt = net(x)
+    yj = jnet.apply({"params": jax.tree.map(jnp.asarray, params)},
+                    jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.array(yj), yt.numpy(), atol=1e-5)
