@@ -146,11 +146,62 @@ def bench_train_step(name, dtype=jnp.float32, reps=10):
     }
 
 
+def bench_stage1_train_step(name, dtype=jnp.float32, reps=5):
+    """Stage-1 AE training-step throughput (fwd+bwd+adam, samples/s)."""
+    import optax
+
+    from lns_tpu.models import SimpleAutoencoder
+    from lns_tpu.ops.losses import relative_lp_loss
+
+    cfg_fn, shape, _, _ = WORKLOADS[name]
+    cfg = cfg_fn()
+    ae = SimpleAutoencoder(cfg, dtype=dtype)
+    batch = 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch,) + shape)
+    params = ae.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.adam(3e-5, b1=0.5, b2=0.9)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_chain(params, opt_state, x, n):
+        def body(i, carry):
+            p, os_ = carry
+
+            def loss_fn(q):
+                x_hat = ae.apply({"params": q}, x)
+                return relative_lp_loss(x_hat, x, reduce_dim=(1, 2), reduce_all=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, os_ = tx.update(grads, os_, p)
+            return optax.apply_updates(p, updates), os_
+
+        p, _ = jax.lax.fori_loop(0, n, body, (params, opt_state))
+        return jax.tree.leaves(p)[0].ravel()[0]
+
+    np.asarray(step_chain(params, opt_state, x, 1))
+
+    def t(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(step_chain(params, opt_state, x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tn = t(1), t(1 + reps)
+    dt = (tn - t1) / reps
+    return {
+        "stage1_step_ms": round(dt * 1e3, 2),
+        "stage1_samples_per_sec": round(batch / dt, 1),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--workloads", default="ns2d,sw,twophase")
     p.add_argument("--train-steps", action="store_true", help="also bench train steps")
+    p.add_argument("--stage1", action="store_true", help="also bench stage-1 AE train steps")
     args = p.parse_args()
 
     results = {"device": str(jax.devices()[0])}
@@ -158,6 +209,8 @@ def main():
         r = bench_workload(name)
         if args.train_steps:
             r.update(bench_train_step(name))
+        if args.stage1:
+            r.update(bench_stage1_train_step(name))
         results[name] = r
         print(f"{name}: {json.dumps(r)}")
     if args.out:
