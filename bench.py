@@ -20,9 +20,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: repeated driver runs skip the ~3-5 min
+# remote compile of the fused rollout
+os.makedirs("/root/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
 import jax.numpy as jnp
 import numpy as np
 
