@@ -19,6 +19,7 @@ from typing import List, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lns_tpu.ops.initializers import uniform_scale_init
 
@@ -40,6 +41,79 @@ def batchmul3d(x_ft, w):
 
 def _as_complex(w):
     return jax.lax.complex(w[..., 0], w[..., 1])
+
+
+def _dft_row_basis(n: int, rows):
+    """Truncated DFT analysis basis for the given frequency rows: returns
+    (cos, sin) real matrices [n, len(rows)] with
+    e^{-2 pi i k x / n} = cos - i sin."""
+    x = np.arange(n)[:, None]
+    k = np.asarray(rows)[None, :]
+    ang = 2.0 * np.pi * x * k / n
+    return np.cos(ang, dtype=np.float64).astype(np.float32), np.sin(ang, dtype=np.float64).astype(np.float32)
+
+
+def spectral_conv2d_dft(x, w1, w2, modes1: int, modes2: int):
+    """SpectralConv2d forward as pure matmuls (no FFT).
+
+    For the tiny retained mode counts this architecture uses (<= 16), the
+    truncated analysis/synthesis transforms are small dense matrices —
+    MXU matmuls instead of FFT butterflies (SURVEY section 7 "DFT-as-matmul"
+    note). Exactly equivalent to the rfft2-based path.
+
+    x: [b, h, w, c]; w1/w2: [i, o, m1, m2, 2] real pairs.
+    """
+    b, h, w, c = x.shape
+    m1, m2 = modes1, modes2
+    rows = list(range(m1)) + [r % h for r in range(h - m1, h)]
+    cols = list(range(m2))
+
+    ch_c, ch_s = _dft_row_basis(h, rows)  # [h, 2*m1]
+    cw_c, cw_s = _dft_row_basis(w, cols)  # [w, m2]
+    ch_c, ch_s = jnp.asarray(ch_c), jnp.asarray(ch_s)
+    cw_c, cw_s = jnp.asarray(cw_c), jnp.asarray(cw_s)
+
+    xf = x.astype(jnp.float32)
+    # analysis over rows: Xr = sum_h e^{-i..} x  -> complex [b, 2m1, w, c]
+    xr_re = jnp.einsum("bhwc,hr->brwc", xf, ch_c)
+    xr_im = -jnp.einsum("bhwc,hr->brwc", xf, ch_s)
+    # analysis over cols
+    xf_re = jnp.einsum("brwc,wk->brkc", xr_re, cw_c) + jnp.einsum("brwc,wk->brkc", xr_im, cw_s)
+    xf_im = jnp.einsum("brwc,wk->brkc", xr_im, cw_c) - jnp.einsum("brwc,wk->brkc", xr_re, cw_s)
+
+    # weight contraction per block (top rows -> w1, bottom rows -> w2)
+    def apply_w(re, im, wk):
+        wr, wi = wk[..., 0], wk[..., 1]
+        out_re = (
+            jnp.einsum("brkc,crko->brko", re, wr.transpose(0, 2, 3, 1))
+            - jnp.einsum("brkc,crko->brko", im, wi.transpose(0, 2, 3, 1))
+        )
+        out_im = (
+            jnp.einsum("brkc,crko->brko", re, wi.transpose(0, 2, 3, 1))
+            + jnp.einsum("brkc,crko->brko", im, wr.transpose(0, 2, 3, 1))
+        )
+        return out_re, out_im
+
+    top_re, top_im = apply_w(xf_re[:, :m1], xf_im[:, :m1], w1)
+    bot_re, bot_im = apply_w(xf_re[:, m1:], xf_im[:, m1:], w2)
+    o_re = jnp.concatenate([top_re, bot_re], axis=1)  # [b, 2m1, m2, o]
+    o_im = jnp.concatenate([top_im, bot_im], axis=1)
+
+    # synthesis: real irfft2 with hermitian completion over the col axis.
+    # col factor 2 for 0 < k2 < w/2 (conjugate pair), 1 for k2=0 / nyquist.
+    fac = np.full(m2, 2.0, np.float32)
+    fac[0] = 1.0
+    if w % 2 == 0 and m2 - 1 == w // 2:
+        fac[-1] = 1.0
+    o_re = o_re * jnp.asarray(fac)[None, None, :, None]
+    o_im = o_im * jnp.asarray(fac)[None, None, :, None]
+
+    # y[h, w'] = (1/(H W)) sum_r sum_k Re[(o_re + i o_im) e^{+i 2pi(rh/H + kw'/W)}]
+    # rows synthesis (full complex), then cols with Re[] projection
+    yr_re = jnp.einsum("brko,hr->bhko", o_re, ch_c) - jnp.einsum("brko,hr->bhko", o_im, ch_s)
+    yr_im = jnp.einsum("brko,hr->bhko", o_im, ch_c) + jnp.einsum("brko,hr->bhko", o_re, ch_s)
+    y = jnp.einsum("bhko,wk->bhwo", yr_re, cw_c) - jnp.einsum("bhko,wk->bhwo", yr_im, cw_s)
+    return (y / (h * w)).astype(x.dtype)
 
 
 class SpectralConv1d(nn.Module):
@@ -81,6 +155,7 @@ class SpectralConv2d(nn.Module):
     modes1: int
     modes2: int
     param_dtype: jnp.dtype = jnp.float32
+    use_dft_matmul: bool = False  # MXU matmul path (exact; wins for small modes)
 
     @nn.compact
     def __call__(self, x):
@@ -89,6 +164,9 @@ class SpectralConv2d(nn.Module):
         shape = (self.in_channels, self.out_channels, self.modes1, self.modes2, 2)
         w1 = self.param("weights1", uniform_scale_init(scale), shape, self.param_dtype)
         w2 = self.param("weights2", uniform_scale_init(scale), shape, self.param_dtype)
+
+        if self.use_dft_matmul:
+            return spectral_conv2d_dft(x, w1, w2, self.modes1, self.modes2)
 
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # [b, h, w//2+1, c]
         out_ft = jnp.zeros(

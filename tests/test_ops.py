@@ -255,3 +255,27 @@ class TestAttentionShapes:
         fab = ops.FABlock2D(64, 16, 16, 4, 64)
         p = fab.init(KEY, x)
         assert fab.apply(p, x).shape == x.shape
+
+
+class TestSpectralDFTMatmul:
+    @pytest.mark.parametrize("h,w,m1,m2", [(16, 16, 4, 4), (61, 121, 6, 12), (32, 32, 4, 17)])
+    def test_dft_matmul_matches_fft_path(self, h, w, m1, m2):
+        """MXU DFT-matmul path == rfft2 path, incl. odd sizes + nyquist col."""
+        from lns_tpu.ops.spectral import spectral_conv2d_dft
+
+        x = random.normal(KEY, (2, h, w, 8))
+        sc = ops.SpectralConv2d(8, 8, m1, m2)
+        p = sc.init(KEY, x)
+        y_fft = sc.apply(p, x)
+        y_dft = spectral_conv2d_dft(
+            x, p["params"]["weights1"], p["params"]["weights2"], m1, m2
+        )
+        np.testing.assert_allclose(np.array(y_dft), np.array(y_fft), atol=1e-5)
+
+    def test_module_flag(self):
+        x = random.normal(KEY, (2, 16, 16, 8))
+        sc1 = ops.SpectralConv2d(8, 8, 4, 4)
+        sc2 = ops.SpectralConv2d(8, 8, 4, 4, use_dft_matmul=True)
+        p = sc1.init(KEY, x)
+        np.testing.assert_allclose(np.array(sc2.apply(p, x)), np.array(sc1.apply(p, x)),
+                                   atol=1e-5)
