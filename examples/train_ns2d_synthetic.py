@@ -8,6 +8,12 @@ reference workflow at toy scale, runnable anywhere (CPU included):
     python examples/train_ns2d_synthetic.py [--epochs 5] [--workdir /tmp/lns]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import tempfile

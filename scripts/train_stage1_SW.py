@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Drop-in wrapper matching the reference entry point name (train_stage1_SW.py);
 delegates to the unified stage-1 CLI."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from lns_tpu.cli.train_stage1 import main
 
 if __name__ == "__main__":
