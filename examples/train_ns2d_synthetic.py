@@ -27,6 +27,7 @@ def main():
     args = p.parse_args()
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="lns_ns2d_")
+    os.makedirs(workdir, exist_ok=True)
     print(f"workdir: {workdir}")
 
     from lns_tpu.data.synthetic import synthetic_config
