@@ -150,3 +150,14 @@ def test_remat_rollout_matches_standard(tmp_path):
     assert abs(float(l0) - float(l1)) < 1e-6
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_twophase_stage1_dp_mesh_denorm_loss(tmp_path):
+    """Two-phase stage-1 trains under a DP mesh with the denormalized loss
+    (Dirichlet-wall masking inside the sharded jitted step)."""
+    cfg = synthetic_config("twophase", str(tmp_path), epochs=1, batch_size=8)
+    mesh = data_mesh(jax.devices()[:4])
+    t = Stage1Trainer(cfg, mesh=mesh, use_wandb=False)
+    x = t.train_ds.get_batch(np.arange(8))
+    p, o, loss = t._train_step(t.params, t.opt_state, t._put(x))
+    assert np.isfinite(float(loss))
