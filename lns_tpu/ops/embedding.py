@@ -48,7 +48,7 @@ class RotaryEmbedding:
 
 def rotate_half(x):
     """Split the last dim in two halves (j=2 chunks) and rotate:
-    (x1, x2) -> (-x2, x1) (reference: modulesembedding.py:179-182)."""
+    (x1, x2) -> (-x2, x1) (reference: modules/embedding.py:179-182)."""
     d = x.shape[-1] // 2
     x1, x2 = x[..., :d], x[..., d:]
     return jnp.concatenate((-x2, x1), axis=-1)

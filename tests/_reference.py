@@ -48,13 +48,20 @@ def load_reference():
 
     # Shim heavy/absent deps so the trainer scripts (which define the live
     # stage-2 propagators at module level) are importable for golden tests.
+    def _stub_getattr(name):
+        # dunders must raise (PEP 562): returning callables for __file__ etc.
+        # breaks inspect-based machinery elsewhere (e.g. torch.optim)
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return lambda *a, **k: None
+
     for missing in ("wandb", "xarray"):
         if missing not in sys.modules:
             try:
                 __import__(missing)
             except ImportError:
                 stub = types.ModuleType(missing)
-                stub.__getattr__ = lambda name: (lambda *a, **k: None)
+                stub.__getattr__ = _stub_getattr
                 sys.modules[missing] = stub
 
     import modules.basics as basics  # noqa: F401
