@@ -60,8 +60,13 @@ def load_reference():
             try:
                 __import__(missing)
             except ImportError:
+                import importlib.machinery
+
                 stub = types.ModuleType(missing)
                 stub.__getattr__ = _stub_getattr
+                # a real ModuleSpec: torch dynamo's trace_rules calls
+                # importlib.util.find_spec on loaded module names
+                stub.__spec__ = importlib.machinery.ModuleSpec(missing, loader=None)
                 sys.modules[missing] = stub
 
     import modules.basics as basics  # noqa: F401
