@@ -22,7 +22,7 @@ from lns_tpu.utils.torch_compat import (
 from _reference import load_reference, reference_namespace
 
 REF = load_reference()
-pytestmark = pytest.mark.skipif(REF is None, reason="reference unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(REF is None, reason="reference unavailable")]
 
 CFG_DIR = "/root/reference/configs"
 

@@ -18,7 +18,7 @@ from lns_tpu.utils.torch_compat import convert_autoencoder, to_jax
 from _reference import load_reference, reference_namespace
 
 REF = load_reference()
-pytestmark = pytest.mark.skipif(REF is None, reason="reference unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(REF is None, reason="reference unavailable")]
 
 CFG_DIR = "/root/reference/configs"
 

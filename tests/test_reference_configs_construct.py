@@ -12,7 +12,7 @@ from lns_tpu.config import load_config
 from lns_tpu.models import LatentDynamics
 
 CFG_DIR = "/root/reference/configs"
-pytestmark = pytest.mark.skipif(not os.path.isdir(CFG_DIR), reason="reference unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(CFG_DIR), reason="reference unavailable")]
 
 CASES = [
     ("ns2d_stage2_prop.yml", (1, 64, 64, 1), (8, 8, 16), False),

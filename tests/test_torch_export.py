@@ -15,7 +15,7 @@ from lns_tpu.utils.torch_export import export_autoencoder, save_torch_checkpoint
 from _reference import load_reference, reference_namespace
 
 REF = load_reference()
-pytestmark = pytest.mark.skipif(REF is None, reason="reference unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(REF is None, reason="reference unavailable")]
 
 CFG_DIR = "/root/reference/configs"
 

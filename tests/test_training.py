@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from lns_tpu.data.synthetic import synthetic_config
 from lns_tpu.parallel.mesh import data_mesh
 from lns_tpu.train import Stage1Trainer, Stage2Trainer
