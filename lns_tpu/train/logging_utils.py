@@ -84,6 +84,17 @@ class MetricLogger:
             except Exception:
                 pass
 
+    def log_image(self, key: str, png_path: str, step: Optional[int] = None):
+        """Push a saved figure/grid PNG to wandb as an Image (the reference
+        logs its matplotlib eval figures this way, train_stage2_ns2d.py:277-291).
+        The PNG on disk is the primary artifact; wandb is best-effort."""
+        if self.wandb is not None:
+            try:
+                self.wandb.log({key: self.wandb.Image(png_path)},
+                               step=self._step if step is None else step)
+            except Exception:
+                pass
+
     def finish(self):
         self._f.close()
         if self.wandb is not None:

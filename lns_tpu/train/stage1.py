@@ -14,6 +14,7 @@ XLA).
 from __future__ import annotations
 
 import functools
+import json
 import os
 from typing import Any, Optional
 
@@ -31,7 +32,11 @@ from lns_tpu.data import (
 from lns_tpu.models import SimpleAutoencoder
 from lns_tpu.ops.losses import relative_lp_loss
 from lns_tpu.parallel.mesh import batch_sharding, replicated_sharding, shard_batch
-from lns_tpu.train.checkpoint import load_autoencoder_checkpoint, save_pytree
+from lns_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    load_autoencoder_checkpoint,
+    save_pytree,
+)
 from lns_tpu.train.logging_utils import (
     MetricLogger,
     log_sequence,
@@ -46,6 +51,16 @@ STAGE1_DATASETS = {
     "sw": SWStage1,
     "twophase": TankSloshingStage1,
     "twophase_conditional": TankSloshingStage1,
+}
+
+# per-workload field channel names; order matches the dataset channel axis
+# (reference: train_stage1_SW.py:119-131 logs vx/vy/prs grids + per-channel
+# losses; train_stage1_twophase.py prints vx/vy/pressure/vof)
+CHANNEL_NAMES = {
+    "ns2d": ("vorticity",),
+    "sw": ("vx", "vy", "prs"),
+    "twophase": ("vx", "vy", "prs", "vof"),
+    "twophase_conditional": ("vx", "vy", "prs", "vof"),
 }
 
 
@@ -77,9 +92,11 @@ class Stage1Trainer:
         self.tx = stage1_optimizer(cfg)
         self.opt_state = self.tx.init(self.params)
         self.epoch = 0
+        self.start_epoch = 0
+        self._ckptr = AsyncCheckpointer() if cfg.async_checkpoint else None
 
         if cfg.resume_training and cfg.resume_ckpt:
-            self.params = load_autoencoder_checkpoint(cfg, cfg.resume_ckpt, self.params)
+            self.load(cfg.resume_ckpt)
 
         n_params = sum(p.size for p in jax.tree.leaves(self.params))
         print(f"Number of trainable parameters: {n_params}")
@@ -125,10 +142,12 @@ class Stage1Trainer:
     # ------------------------------------------------------------------
     def train(self):
         cfg = self.cfg
-        rng = np.random.default_rng(self.seed)
         n = len(self.train_ds)
-        for epoch in range(cfg.epochs):
+        # per-epoch data order is a pure function of (seed, epoch) so a
+        # resumed run at epoch k sees exactly the batches a fresh run would
+        for epoch in range(self.start_epoch, cfg.epochs):
             self.epoch = epoch
+            rng = np.random.default_rng([self.seed, epoch])
             if epoch % cfg.ckpt_every == 0:
                 self.validate(epoch)
                 self.save(epoch)
@@ -141,6 +160,8 @@ class Stage1Trainer:
                 self.logger.log({"rec_loss": loss})
         self.validate("final")
         self.save("final")
+        if self._ckptr is not None:
+            self._ckptr.wait()
         self.logger.finish()
 
     # ------------------------------------------------------------------
@@ -171,17 +192,64 @@ class Stage1Trainer:
         )
         val = float(err.mean())
         print(f"Validation Reconstruction Loss: {val}")
-        self.logger.log({"val_recon_loss": val}, echo=False)
+        metrics = {"val_recon_loss": val}
 
         sdir = os.path.join(cfg.log_dir, "samples")
         stride = max(1, t // 6)
         nshow = min(4, nc)
-        log_sequence(recon_d[:nshow, ::stride, :, :, 0], os.path.join(sdir, f"sample_{epoch}.png"))
-        log_sequence(traj_d[:nshow, ::stride, :, :, 0], os.path.join(sdir, f"gt_{epoch}.png"))
-        plot_error_curve(err.mean(axis=(0, 2)), err.std(axis=0).mean(-1),
-                         os.path.join(sdir, f"err_curve_{epoch}.png"))
+        names = CHANNEL_NAMES.get(cfg.workload, ())
+        if len(names) > 1:
+            # multi-channel workloads: per-channel losses + per-channel
+            # sample/gt grids (reference train_stage1_SW.py:119-131)
+            per_ch = err.mean(axis=(0, 1))  # [c]
+            for c, name in enumerate(names):
+                print(f"Validation Reconstruction Loss on {name}: {per_ch[c]}")
+                metrics[f"val_recon_loss_{name}"] = float(per_ch[c])
+                spath = os.path.join(sdir, f"sample_{name}_{epoch}.png")
+                gpath = os.path.join(sdir, f"gt_{name}_{epoch}.png")
+                log_sequence(recon_d[:nshow, ::stride, :, :, c], spath)
+                log_sequence(traj_d[:nshow, ::stride, :, :, c], gpath)
+                self.logger.log_image(f"sample_{name}", spath)
+        else:
+            spath = os.path.join(sdir, f"sample_{epoch}.png")
+            log_sequence(recon_d[:nshow, ::stride, :, :, 0], spath)
+            log_sequence(traj_d[:nshow, ::stride, :, :, 0],
+                         os.path.join(sdir, f"gt_{epoch}.png"))
+            self.logger.log_image("sample", spath)
+        self.logger.log(metrics, echo=False)
+        cpath = os.path.join(sdir, f"err_curve_{epoch}.png")
+        plot_error_curve(err.mean(axis=(0, 2)), err.std(axis=0).mean(-1), cpath)
+        self.logger.log_image("val_error_curve", cpath)
         return val
 
     def save(self, epoch):
-        path = os.path.join(self.cfg.log_dir, "checkpoints", f"vqgan_epoch_{epoch}.msgpack")
-        save_pytree(self.params, path)
+        ckpt = os.path.join(self.cfg.log_dir, "checkpoints")
+        path = os.path.join(ckpt, f"vqgan_epoch_{epoch}.msgpack")
+        if self._ckptr is not None:
+            self._ckptr.save(os.path.join(ckpt, f"vqgan_epoch_{epoch}"), self.params)
+        else:
+            save_pytree(self.params, path)
+        # full-restartability sidecars: optimizer state + epoch counter (the
+        # reference stage-1 saves the model only, train_stage1_ns2d.py:63-66)
+        save_pytree(self.opt_state, os.path.join(ckpt, f"optim_epoch_{epoch}.msgpack"))
+        next_epoch = self.cfg.epochs if epoch == "final" else int(epoch)
+        with open(os.path.join(ckpt, f"meta_epoch_{epoch}.json"), "w") as f:
+            json.dump({"epoch": next_epoch, "seed": self.seed}, f)
+
+    def load(self, model_path: str):
+        """Resume: restore params, and — for native checkpoints with
+        sidecars — the optimizer state and epoch counter, so training
+        continues from epoch k instead of replaying from 0."""
+        from lns_tpu.train.checkpoint import load_pytree
+
+        self.params = load_autoencoder_checkpoint(self.cfg, model_path, self.params)
+        if model_path.endswith(".pt"):
+            return
+        optim_path = model_path.replace("vqgan_epoch_", "optim_epoch_")
+        if optim_path != model_path and os.path.exists(optim_path):
+            self.opt_state = load_pytree(self.opt_state, optim_path)
+        meta_path = model_path.replace("vqgan_epoch_", "meta_epoch_")
+        meta_path = os.path.splitext(meta_path)[0] + ".json"
+        if meta_path != model_path and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.start_epoch = int(json.load(f)["epoch"])

@@ -12,6 +12,7 @@ program from LatentDynamics.predict.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -31,6 +32,7 @@ from lns_tpu.models import LatentDynamics
 from lns_tpu.ops.losses import relative_lp_loss
 from lns_tpu.parallel.mesh import batch_sharding, replicated_sharding, shard_batch
 from lns_tpu.train.checkpoint import (
+    AsyncCheckpointer,
     load_autoencoder_checkpoint,
     load_latent_dynamics_checkpoint,
     save_pytree,
@@ -103,9 +105,13 @@ class Stage2Trainer:
 
         self._train_step = self._build_train_step()
         self._predict_cache = {}
+        self.start_epoch = 0
+        self._ckptr = AsyncCheckpointer() if cfg.async_checkpoint else None
 
-        # optional mid-training resume (the reference saves optim/sched state
-        # but never reloads it; restartability here is full)
+        # mid-training resume: params + optimizer state (the cosine schedule
+        # continues via the restored optax step count) + epoch counter (the
+        # reference saves optim/sched state but never reloads it,
+        # train_stage2_ns2d.py:200-206)
         if cfg.resume_training and cfg.resume_ckpt:
             self.load(cfg.resume_ckpt)
 
@@ -159,9 +165,11 @@ class Stage2Trainer:
     # ------------------------------------------------------------------
     def train(self):
         cfg = self.cfg
-        rng = np.random.default_rng(self.seed)
         n = len(self.train_ds)
-        for epoch in range(cfg.epochs):
+        # per-epoch data order is a pure function of (seed, epoch) so a
+        # resumed run at epoch k sees exactly the batches a fresh run would
+        for epoch in range(self.start_epoch, cfg.epochs):
+            rng = np.random.default_rng([self.seed, epoch])
             if epoch % cfg.ckpt_every == 0:
                 self.validate(epoch)
                 self.save(epoch)
@@ -180,6 +188,8 @@ class Stage2Trainer:
                 self.logger.log({"loss": loss})
         self.validate(cfg.epochs)
         self.save("final")
+        if self._ckptr is not None:
+            self._ckptr.wait()
         self.logger.finish()
 
     # ------------------------------------------------------------------
@@ -236,21 +246,34 @@ class Stage2Trainer:
         sdir = os.path.join(cfg.log_dir, "samples")
         stride = max(1, steps // 6)
         nshow = min(4, sample_pred.shape[0])
-        log_sequence(sample_pred[:nshow, ::stride, :, :, 0],
-                     os.path.join(sdir, f"sample_{epoch}.png"))
+        spath = os.path.join(sdir, f"sample_{epoch}.png")
+        log_sequence(sample_pred[:nshow, ::stride, :, :, 0], spath)
         log_sequence(sample_gt[:nshow, ::stride, :, :, 0],
                      os.path.join(sdir, f"gt_{epoch}.png"))
+        cpath = os.path.join(sdir, f"err_curve_{epoch}.png")
         plot_error_curve(frame_err.mean(axis=(0, 2)), frame_err.std(axis=0).mean(-1),
-                         os.path.join(sdir, f"err_curve_{epoch}.png"))
+                         cpath)
+        # the reference pushes the eval figures to wandb as Images
+        # (train_stage2_ns2d.py:277-291)
+        self.logger.log_image("val_error_curve", cpath)
+        self.logger.log_image("sample", spath)
         return float(seq_mean.mean())
 
     def save(self, epoch):
         ckpt = os.path.join(self.cfg.log_dir, "checkpoints")
-        save_pytree(self.params, os.path.join(ckpt, f"model_{epoch}.msgpack"))
+        if self._ckptr is not None:
+            self._ckptr.save(os.path.join(ckpt, f"model_{epoch}"), self.params)
+        else:
+            save_pytree(self.params, os.path.join(ckpt, f"model_{epoch}.msgpack"))
         save_pytree(self.opt_state, os.path.join(ckpt, f"optim_{epoch}.msgpack"))
+        next_epoch = self.cfg.epochs if epoch == "final" else int(epoch)
+        with open(os.path.join(ckpt, f"meta_{epoch}.json"), "w") as f:
+            json.dump({"epoch": next_epoch, "seed": self.seed}, f)
 
     def load(self, model_path: str):
-        """Resume from a saved model (+ optimizer state when present)."""
+        """Resume from a saved model: optimizer state (when present) restores
+        the cosine-LR step count; the meta sidecar restores the epoch counter
+        so `train()` continues from epoch k rather than replaying."""
         from lns_tpu.train.checkpoint import load_pytree
 
         params = load_latent_dynamics_checkpoint(self.cfg, model_path, self.params)
@@ -259,5 +282,10 @@ class Stage2Trainer:
         optim_path = model_path.replace("model_", "optim_")
         if model_path != optim_path and os.path.exists(optim_path):
             self.opt_state = load_pytree(self.opt_state, optim_path)
+        meta_path = model_path.replace("model_", "meta_")
+        meta_path = os.path.splitext(meta_path)[0] + ".json"
+        if meta_path != model_path and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.start_epoch = int(json.load(f)["epoch"])
         # the train step closes over ae_params; rebuild
         self._train_step = self._build_train_step()

@@ -54,3 +54,92 @@ def test_stage2_resume(tmp_path):
 
     for a, b in zip(jax.tree.leaves(t2.prop_params), jax.tree.leaves(t3.prop_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage2_true_resume_continues_from_epoch(tmp_path):
+    """A run killed at epoch k and resumed finishes with exactly cfg.epochs
+    total epochs, bit-identical params to an uninterrupted run, and a
+    continuing cosine LR schedule (VERDICT round 1, item 5)."""
+    import jax
+
+    from lns_tpu.data.synthetic import synthetic_config
+    from lns_tpu.train import Stage1Trainer, Stage2Trainer
+
+    cfg = synthetic_config("ns2d", str(tmp_path), epochs=1)
+    t1 = Stage1Trainer(cfg, use_wandb=False)
+    t1.save("final")
+    ae_ckpt = os.path.join(cfg.log_dir, "checkpoints", "vqgan_epoch_final.msgpack")
+
+    # uninterrupted 3-epoch run; ckpt_every=2 saves model_2 at the START of
+    # epoch 2 (params after epochs 0 and 1)
+    cfg_full = cfg.replace(log_dir=str(tmp_path / "full"), epochs=3, ckpt_every=2,
+                           pretrained_checkpoint_path=ae_ckpt)
+    t_full = Stage2Trainer(cfg_full, use_wandb=False)
+    steps_per_epoch = max(1, len(t_full.train_ds) // cfg_full.batch_size)
+    t_full.train()
+
+    # resume from the epoch-2 checkpoint: must run epoch 2 ONLY
+    model_ckpt = os.path.join(cfg_full.log_dir, "checkpoints", "model_2.msgpack")
+    cfg_res = cfg_full.replace(log_dir=str(tmp_path / "res"), resume_training=True,
+                               resume_ckpt=model_ckpt)
+    t_res = Stage2Trainer(cfg_res, use_wandb=False)
+    assert t_res.start_epoch == 2
+    t_res.train()
+
+    for a, b in zip(jax.tree.leaves(t_full.prop_params),
+                    jax.tree.leaves(t_res.prop_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # LR schedule continued: optax step count == total steps of a full run
+    import optax
+
+    def first_count(state):
+        found = optax.tree_utils.tree_get_all_with_path(state, "count")
+        return int(found[0][1])
+
+    full_count = first_count(t_full.opt_state)
+    res_count = first_count(t_res.opt_state)
+    assert full_count == res_count == steps_per_epoch * 3
+
+
+def test_stage1_true_resume_continues_from_epoch(tmp_path):
+    import jax
+
+    from lns_tpu.data.synthetic import synthetic_config
+    from lns_tpu.train import Stage1Trainer
+
+    cfg = synthetic_config("ns2d", str(tmp_path), epochs=3, ckpt_every=2)
+    t_full = Stage1Trainer(cfg, use_wandb=False)
+    t_full.train()
+
+    ckpt = os.path.join(cfg.log_dir, "checkpoints", "vqgan_epoch_2.msgpack")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(ckpt.replace("vqgan_epoch_", "optim_epoch_"))
+    cfg_res = cfg.replace(log_dir=str(tmp_path / "res1"), resume_training=True,
+                          resume_ckpt=ckpt)
+    t_res = Stage1Trainer(cfg_res, use_wandb=False)
+    assert t_res.start_epoch == 2
+    t_res.train()
+    for a, b in zip(jax.tree.leaves(t_full.params), jax.tree.leaves(t_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage1_per_channel_validation(tmp_path):
+    """Multi-channel workloads emit per-channel sample grids + per-channel
+    reconstruction losses (reference train_stage1_SW.py:98-131)."""
+    import json as _json
+
+    from lns_tpu.data.synthetic import synthetic_config
+    from lns_tpu.train import Stage1Trainer
+
+    cfg = synthetic_config("sw", str(tmp_path), epochs=1)
+    t = Stage1Trainer(cfg, use_wandb=False)
+    t.validate(0)
+    sdir = os.path.join(cfg.log_dir, "samples")
+    for name in ("vx", "vy", "prs"):
+        assert os.path.exists(os.path.join(sdir, f"sample_{name}_0.png"))
+        assert os.path.exists(os.path.join(sdir, f"gt_{name}_0.png"))
+    with open(os.path.join(cfg.log_dir, "metrics.jsonl")) as f:
+        recs = [_json.loads(line) for line in f]
+    keys = set().union(*(r.keys() for r in recs))
+    assert {"val_recon_loss", "val_recon_loss_vx", "val_recon_loss_vy",
+            "val_recon_loss_prs"} <= keys
