@@ -93,6 +93,13 @@ def main():
     per_rollout = (tn - t1) / REPS
 
     fps = BATCH * STEPS / per_rollout
+    # sensitivity band for the analytic A100 denominator (BASELINE.md
+    # "Sensitivity of the 5,000 f/s denominator"): 10-25% A100 utilization
+    # -> 3.3k-8k f/s. Printed BEFORE the driver's single JSON line.
+    print(f"# A100-denominator sensitivity: vs_baseline spans "
+          f"{fps / 8000.0:.2f}x (25% util, 8k f/s) .. "
+          f"{fps / 3300.0:.2f}x (10% util, 3.3k f/s); "
+          f"headline uses 5k f/s")
     print(json.dumps({
         "metric": "ns2d_rollout_frames_per_sec_per_chip",
         "value": round(fps, 1),
