@@ -1,0 +1,148 @@
+"""Probe the FULL FABlock chain (in_proj -> axial -> IN -> out proj ->
+gelu -> out_fc2 -> residual) in two formulations, at decode bench shapes.
+
+blkA (round-1/2 default): head-major einsums + separate instance norm.
+    XLA layout assignment bridges batch-minor (IN/elementwise) and
+    standard-major (dots) with ~7 full passes of the 8x-inflated phi
+    tensor (hlo_copy_audit.py).
+blkB (v10): dots-only — the IN is folded into per-batch out-projection
+    weights (W'[b,n,d,o] = rsqrt(var)*W; bias[b,o] = sum mean*inv*W), so
+    the big tensor is only ever touched by dot_generals plus ONE explicit
+    h<->w transpose. Stats are a pure read-side reduction.
+
+kx, ky are inputs (the LowRankKernel path is tiny and identical in both).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+os.makedirs("/root/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from lns_tpu.ops.factorized_attention import (
+    axial_apply_headmajor,
+    instance_norm_headmajor,
+)
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def blkA(u, kx, ky, w_in, w_o1, w_o2):
+    # w_in: [c, n, d]; w_o1: [n, d, o]; w_o2: [o, c]
+    u_phi = jnp.einsum("bhwc,cnd->bnhwd", u, w_in)
+    phi = axial_apply_headmajor(kx, ky, u_phi)
+    out = instance_norm_headmajor(phi)
+    out = jnp.einsum("bnhwd,ndo->bhwo", out, w_o1)
+    out = gelu(out)
+    out = jnp.einsum("bhwo,oc->bhwc", out, w_o2)
+    return out + u
+
+
+def blkB(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    u_phi = jnp.einsum("bhwc,cnd->bnhwd", u, w_in)
+
+    # row apply: bitcast to [b, gg, g*h, w*d], blockdiag bmm
+    g = max(1, min(n, 128 // max(1, h)))
+    while n % g:
+        g -= 1
+    from lns_tpu.ops.factorized_attention import _blockdiag
+
+    kxb = _blockdiag(kx, g)
+    x = u_phi.reshape(b, n // g, g * h, w * d)
+    x = jnp.einsum("bgxy,bgyz->bgxz", kxb, x)
+    x = x.reshape(b, n, h, w, d)
+
+    # ONE explicit transpose pass
+    x = x.transpose(0, 1, 3, 2, 4)  # [b, n, w, h, d]
+
+    # col apply: same blockdiag bmm on the w axis
+    g2 = max(1, min(n, 128 // max(1, w)))
+    while n % g2:
+        g2 -= 1
+    kyb = _blockdiag(ky, g2)
+    x = x.reshape(b, n // g2, g2 * w, h * d)
+    x = jnp.einsum("bgxy,bgyz->bgxz", kyb, x)
+    x = x.reshape(b, n, w, h, d)
+
+    # IN stats: read-side reduction over (w, h) per (b, n, d)
+    mean = jnp.mean(x, axis=(2, 3), dtype=jnp.float32)  # [b, n, d]
+    sq = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=(2, 3))
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)  # [b, n, d]
+
+    # fold IN into the out projection: W'[b,n,d,o], bias[b,o]
+    w_o1f = w_o1.astype(jnp.float32)
+    wp = (inv[..., None] * w_o1f).astype(x.dtype)  # [b, n, d, o]
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w_o1f).astype(x.dtype)
+
+    out = jnp.einsum("bnwhd,bndo->bhwo", x, wp) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("bhwo,oc->bhwc", out, w_o2)
+    return out + u
+
+
+def timed(fn, args, n=20):
+    chained = jax.jit(
+        lambda a, k: jax.lax.fori_loop(
+            0, k,
+            lambda i, c: (c[0] + (1e-6 * jnp.sum(fn(*c))).astype(c[0].dtype),)
+            + c[1:],
+            a,
+        )[0][0, 0, 0, 0]
+    )
+    np.asarray(chained(args, 1))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(args, 1))
+        t1 = time.perf_counter()
+        np.asarray(chained(args, 1 + n))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / n)
+    return best
+
+
+def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16):
+    ks = jax.random.split(jax.random.key(0), 6)
+    u = jax.random.normal(ks[0], (b, h, w, c)).astype(dtype)
+    kx = (jax.random.normal(ks[1], (b, heads, h, h)) / h).astype(dtype)
+    ky = (jax.random.normal(ks[2], (b, heads, w, w)) / w).astype(dtype)
+    w_in = (jax.random.normal(ks[3], (c, heads, d)) / c**0.5).astype(dtype)
+    w_o1 = (jax.random.normal(ks[4], (heads, d, c)) / (heads * d) ** 0.5).astype(dtype)
+    w_o2 = (jax.random.normal(ks[5], (c, c)) / c**0.5).astype(dtype)
+    args = (u, kx, ky, w_in, w_o1, w_o2)
+    ref = np.asarray(jax.jit(blkA)(*args), np.float32)
+    res = [f"[{b},{h},{w},c{c},n{heads},d{d}]"]
+    for name, fn in [("blkA", blkA), ("blkB", blkB)]:
+        t0c = time.time()
+        out = np.asarray(jax.jit(fn)(*args), np.float32)
+        err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
+        t = timed(fn, args)
+        res.append(f"{name} {t*1e3:7.2f} ms (err {err:.1e}, compile {time.time()-t0c:.0f}s)")
+        log(" | ".join(res))
+
+
+if __name__ == "__main__":
+    log(f"devices: {jax.devices()}")
+    bench(928, 32, 32, 64, 8, 64)   # NS2d FAB@32
+    bench(928, 16, 16, 128, 8, 64)  # NS2d FAB@16
+    bench(336, 48, 96, 64, 8, 64)   # SW FAB@48x96
+    bench(336, 24, 48, 128, 8, 64)  # SW FAB@24x48

@@ -10,9 +10,17 @@ root remains the driver's single-line entry.
 
 import argparse
 import json
+import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+os.makedirs("/root/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -218,29 +218,34 @@ class FABlock2D(nn.Module):
 
         from lns_tpu.pallas_kernels.backend import enabled as pallas_enabled
 
+        b, n, h, w, d = u_phi.shape
+        use_pipeline = False
         if pallas_enabled():
-            # fused Pallas path: both axial matmuls per (sample, head) in
-            # VMEM — one HBM read + write of phi
-            from lns_tpu.pallas_kernels.axial_attention import (
-                axial_kernel_apply_headmajor,
-            )
+            from lns_tpu.pallas_kernels.axial_fused import supported_shape
 
-            b, n, h, w, d = u_phi.shape
-            phi = axial_kernel_apply_headmajor(
-                k_x.astype(u_phi.dtype).reshape(b * n, h, h),
-                k_y.astype(u_phi.dtype).reshape(b * n, w, w),
-                u_phi.reshape(b * n, h, w, d),
-            ).reshape(b, n, h, w, d)
+            use_pipeline = supported_shape(h, w, d)
+
+        w_o1 = _Kernel(self.heads * self.dim_head, self.dim_out, name="out_fc1")()
+        w_o1 = w_o1.reshape(self.heads, self.dim_head, self.dim_out)
+        if use_pipeline:
+            # layout-pinned Pallas pipeline (bmm / transpose / bmm): no XLA
+            # batch-minor layout bridging; result left W-MAJOR — the
+            # out-projection einsum absorbs the axis order (saves a pass)
+            from lns_tpu.pallas_kernels.axial_pipeline import axial_apply_pipeline
+
+            phi = axial_apply_pipeline(
+                k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi,
+                final_transpose=False,
+            )  # [b, n, W, H, d]
+            out = instance_norm_headmajor(phi)  # stats over (2,3): same dims
+            out = jnp.einsum("bnwhd,ndo->bhwo", out, w_o1.astype(out.dtype))
         else:
             phi = axial_apply_headmajor(
                 k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi
             )
-
-        out = instance_norm_headmajor(phi)
-        # fold the (head-major -> channel) relayout into out_fc1
-        w_o1 = _Kernel(self.heads * self.dim_head, self.dim_out, name="out_fc1")()
-        w_o1 = w_o1.reshape(self.heads, self.dim_head, self.dim_out).astype(out.dtype)
-        out = jnp.einsum("bnhwd,ndo->bhwo", out, w_o1)
+            out = instance_norm_headmajor(phi)
+            # fold the (head-major -> channel) relayout into out_fc1
+            out = jnp.einsum("bnhwd,ndo->bhwo", out, w_o1.astype(out.dtype))
         out = gelu(out)
         out = Conv1x1(self.dim_out, use_bias=False, name="out_fc2")(out)
         return out + u_skip

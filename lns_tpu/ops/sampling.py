@@ -33,6 +33,14 @@ def resize_nearest_torch(x, out_h: int, out_w: int):
     in_h, in_w = x.shape[1], x.shape[2]
     if (in_h, in_w) == (out_h, out_w):
         return x
+    if out_h % in_h == 0 and out_w % in_w == 0:
+        # integer upscale: floor(i * in/out) == i // k — identical to
+        # repeat(k), which lowers to broadcast+reshape instead of gathers
+        if out_h != in_h:
+            x = jnp.repeat(x, out_h // in_h, axis=1)
+        if out_w != in_w:
+            x = jnp.repeat(x, out_w // in_w, axis=2)
+        return x
     hi = _torch_nearest_indices(out_h, in_h)
     wi = _torch_nearest_indices(out_w, in_w)
     x = jnp.take(x, jnp.asarray(hi), axis=1)
