@@ -99,6 +99,88 @@ def blkB(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out + u
 
 
+def blkC(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """F6: natural in_proj dot + one explicit permute to head-major +
+    blockdiag row dot + one h<->w transpose + blockdiag col dot + read-only
+    single-co-pass stats + contract-d out dot + n-sum/bias/gelu + fc2 +
+    late small transpose. No elementwise op ever touches the big tensor,
+    so XLA has no reason to leave {3,2,1,0}."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    phi = jnp.einsum("bhwc,cnd->bhwnd", u, w_in)  # natural dot order
+    phi = phi.transpose(0, 3, 1, 2, 4)  # ONE permute -> [b, n, h, w, d]
+
+    from lns_tpu.ops.factorized_attention import _blockdiag
+
+    g = max(1, min(n, 128 // max(1, h)))
+    while n % g:
+        g -= 1
+    kxb = _blockdiag(kx, g)
+    x = phi.reshape(b, n // g, g * h, w * d)
+    x = jnp.einsum("bgxy,bgyz->bgxz", kxb, x)
+    x = x.reshape(b, n, h, w, d)
+
+    x = x.transpose(0, 1, 3, 2, 4)  # ONE h<->w transpose
+
+    g2 = max(1, min(n, 128 // max(1, w)))
+    while n % g2:
+        g2 -= 1
+    kyb = _blockdiag(ky, g2)
+    x = x.reshape(b, n // g2, g2 * w, h * d)
+    x = jnp.einsum("bgxy,bgyz->bgxz", kyb, x)
+    x = x.reshape(b, n, w, h, d)
+
+    # single-co-pass IN stats (read-only)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(2, 3))          # [b, n, d]
+    sq = jnp.mean(jnp.square(xf), axis=(2, 3))
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)            # [b, n, d]
+
+    # out proj with IN folded into per-batch weights (inv varies per
+    # (b,n,d) so it must fold into the d-contraction): contract d only —
+    # adjacent minor, clean batched dot — then sum heads on the read side
+    wp = (inv[..., None] * w_o1.astype(jnp.float32)[None]).astype(x.dtype)
+    t = jnp.einsum("bnwhd,bndo->bnwho", x, wp)           # batched clean dot
+    bias = jnp.einsum("bnd,ndo->bo", (mean * inv), w_o1.astype(jnp.float32))
+    out = jnp.sum(t, axis=1) - bias.astype(x.dtype)[:, None, None, :]
+    out = gelu(out)                                      # [b, w, h, o]
+    out = jnp.einsum("bwho,oc->bwhc", out, w_o2)
+    out = out.transpose(0, 2, 1, 3)                      # small late transpose
+    return out + u
+
+
+def blkD(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """Per-head chains: the 5D head-major tensor never exists. Each head
+    runs in_proj -> row dot -> transpose -> col dot -> folded-IN out dot
+    on a [b, h, w, 64] tensor (the same shape class as the decoder's NHWC
+    convs, which XLA lays out cleanly). Heads merge only in the final
+    accumulate. All dots have adjacent free dims."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    acc = None
+    uf = u
+    for hd in range(n):
+        phi = jnp.einsum("bhwc,cd->bhwd", uf, w_in[:, hd])        # [b,h,w,d]
+        x = jnp.einsum("bih,bhwd->biwd", kx[:, hd], phi)          # row apply
+        x = x.transpose(0, 2, 1, 3)                               # [b,w,i,d]
+        x = jnp.einsum("blw,bwid->blid", ky[:, hd], x)            # col apply
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2))                          # [b, d]
+        sq = jnp.mean(jnp.square(xf), axis=(1, 2))
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)                            # [b, d]
+        w1f = w_o1[hd].astype(jnp.float32)                        # [d, o]
+        wp = (inv[:, :, None] * w1f[None]).astype(x.dtype)        # [b, d, o]
+        bias = ((mean * inv) @ w1f).astype(x.dtype)               # [b, o]
+        t = jnp.einsum("blid,bdo->blio", x, wp) - bias[:, None, None, :]
+        acc = t if acc is None else acc + t
+    out = gelu(acc)                                               # [b,w,h,o]
+    out = jnp.einsum("bwho,oc->bwhc", out, w_o2)
+    out = out.transpose(0, 2, 1, 3)
+    return out + u
+
+
 def timed(fn, args, n=20):
     chained = jax.jit(
         lambda a, k: jax.lax.fori_loop(
@@ -131,7 +213,11 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16):
     args = (u, kx, ky, w_in, w_o1, w_o2)
     ref = np.asarray(jax.jit(blkA)(*args), np.float32)
     res = [f"[{b},{h},{w},c{c},n{heads},d{d}]"]
-    for name, fn in [("blkA", blkA), ("blkB", blkB)]:
+    import os as _os
+
+    _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
+    _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD}
+    for name, fn in [(v, _all[v]) for v in _variants]:
         t0c = time.time()
         out = np.asarray(jax.jit(fn)(*args), np.float32)
         err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)

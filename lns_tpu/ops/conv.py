@@ -1,9 +1,10 @@
 """Convolution wrappers (NHWC, HWIO kernels) with torch-compatible padding.
 
-All convs pad explicitly (zeros / circular / half-periodic) and then run a
-VALID `lax.conv_general_dilated` so each boundary topology maps to exactly
-the torch behavior. 1x1 convs are expressed as channel matmuls — on TPU
-these land directly on the MXU with no im2col.
+Zero padding rides `lax.conv_general_dilated` natively (no activation
+copy); circular / half-periodic boundaries wrap-pad only their periodic
+axis explicitly. Both map exactly to the torch behavior. 1x1 convs are
+expressed as channel matmuls — on TPU these land directly on the MXU with
+no im2col.
 
 Covers the reference's Conv1d/2d/3d(padding_mode=...) usage and
 HalfPeriodicConv2d (modules/autoencoder2d_half_periodic.py:26-52).
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from lns_tpu.ops import initializers as tinit
-from lns_tpu.ops.padding import pad_half_periodic, pad_nd
+from lns_tpu.ops.padding import pad_nd
 
 
 def _tuple(v, n):
@@ -86,12 +87,25 @@ class ConvND(nn.Module):
         else:
             pads = [tuple(p) for p in self.padding]
 
+        # Zero padding rides the convolution natively (lax padding pairs)
+        # instead of materializing a jnp.pad copy of the activation — a
+        # full HBM pass per conv at decode scale. Only circular axes need
+        # an explicit wrap-pad copy.
+        conv_pads = [(0, 0)] * nd
         if any(p != (0, 0) for p in pads):
-            if self.padding_mode in ("zeros", "circular"):
-                x = pad_nd(x, pads, mode=self.padding_mode)
+            if self.padding_mode == "zeros":
+                conv_pads = pads
+            elif self.padding_mode == "circular":
+                x = pad_nd(x, pads, mode="circular")
             elif self.padding_mode in ("half_periodic_x", "half_periodic_y"):
                 assert nd == 2 and all(p[0] == p[1] for p in pads) and pads[0] == pads[1]
-                x = pad_half_periodic(x, pads[0][0], self.padding_mode[-1])
+                p = pads[0][0]
+                if self.padding_mode[-1] == "x":
+                    x = jnp.pad(x, [(0, 0), (0, 0), (p, p), (0, 0)], mode="wrap")
+                    conv_pads = [(p, p), (0, 0)]
+                else:
+                    x = jnp.pad(x, [(0, 0), (p, p), (0, 0), (0, 0)], mode="wrap")
+                    conv_pads = [(0, 0), (p, p)]
             else:
                 raise ValueError(f"unknown padding mode {self.padding_mode}")
 
@@ -103,7 +117,7 @@ class ConvND(nn.Module):
             x,
             kernel,
             window_strides=stride,
-            padding="VALID",
+            padding=conv_pads,
             rhs_dilation=dil,
             dimension_numbers=dn,
             preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,

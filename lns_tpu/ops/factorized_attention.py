@@ -155,15 +155,21 @@ def axial_apply_headmajor(k_x, k_y, phi, precision=None):
 def instance_norm_headmajor(phi, eps: float = 1e-5):
     """InstanceNorm2d on head-major [b, n, h, w, d]: per (b, n, d) channel
     over (h, w) — identical math to NHWC instance_norm_2d."""
-    mean = jnp.mean(phi, axis=(2, 3), keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(
-        jnp.square(phi.astype(jnp.float32) - mean), axis=(2, 3), keepdims=True
-    )
-    inv = jax.lax.rsqrt(var + eps)
     if phi.dtype == jnp.float32:
-        return (phi - mean) * inv
-    # low-precision activations: stats in f32, normalize arithmetic at
-    # activation width (keeps every HBM pass at bf16 width)
+        # two-pass form: numerically exact (golden f32 path)
+        mean = jnp.mean(phi, axis=(2, 3), keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(jnp.square(phi - mean), axis=(2, 3), keepdims=True)
+        return (phi - mean) * jax.lax.rsqrt(var + eps)
+    # low-precision activations: E[x^2]-E[x]^2 with f32 accumulation so
+    # both statistics come out of ONE read pass (XLA multi-output fusion;
+    # the sequential two-pass form costs a second full pass — profiled),
+    # normalize arithmetic at activation width (bf16-wide HBM passes)
+    mean = jnp.mean(phi, axis=(2, 3), keepdims=True, dtype=jnp.float32)
+    sq = jnp.mean(
+        jnp.square(phi.astype(jnp.float32)), axis=(2, 3), keepdims=True
+    )
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
     return (phi - mean.astype(phi.dtype)) * inv.astype(phi.dtype)
 
 
@@ -193,11 +199,8 @@ class FABlock2D(nn.Module):
         u_skip = u
         u = GroupNorm(1, self.dim, eps=1e-5, name="in_norm")(u)
 
-        # head-major projection: fold the (channel -> head) relayout into
-        # the matmul output layout instead of a standalone transpose
         w_in = _Kernel(self.dim, self.heads * self.dim_head, name="in_proj")()
         w_in = w_in.reshape(self.dim, self.heads, self.dim_head).astype(u.dtype)
-        u_phi = jnp.einsum("bhwc,cnd->bnhwd", u, w_in)  # [b, heads, H, W, d]
 
         u_in = Conv1x1(self.dim, use_bias=False, name="to_in")(u)
         u_x = PoolingReducer(self.dim, self.dim, self.latent_dim, name="to_x")(u_in)
@@ -216,36 +219,61 @@ class FABlock2D(nn.Module):
             qk_norm=self.qk_norm, name="low_rank_kernel_y",
         )(u_y)  # [b, heads, w, w]
 
-        from lns_tpu.pallas_kernels.backend import enabled as pallas_enabled
-
-        b, n, h, w, d = u_phi.shape
-        use_pipeline = False
-        if pallas_enabled():
-            from lns_tpu.pallas_kernels.axial_fused import supported_shape
-
-            use_pipeline = supported_shape(h, w, d)
-
         w_o1 = _Kernel(self.heads * self.dim_head, self.dim_out, name="out_fc1")()
         w_o1 = w_o1.reshape(self.heads, self.dim_head, self.dim_out)
-        if use_pipeline:
-            # layout-pinned Pallas pipeline (bmm / transpose / bmm): no XLA
-            # batch-minor layout bridging; result left W-MAJOR — the
-            # out-projection einsum absorbs the axis order (saves a pass)
-            from lns_tpu.pallas_kernels.axial_pipeline import axial_apply_pipeline
+        k_x = k_x.astype(u.dtype)
+        k_y = k_y.astype(u.dtype)
 
-            phi = axial_apply_pipeline(
-                k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi,
-                final_transpose=False,
-            )  # [b, n, W, H, d]
-            out = instance_norm_headmajor(phi)  # stats over (2,3): same dims
-            out = jnp.einsum("bnwhd,ndo->bhwo", out, w_o1.astype(out.dtype))
+        h, w = u.shape[1], u.shape[2]
+        if h * w > 1024:
+            # Per-head chains (measured fastest at spatial sizes > 32x32;
+            # DESIGN.md "Factorized attention" item 4): the 8x-inflated 5D
+            # head-major tensor never exists. Each head's value tensor is a
+            # [b, h, w, d] NHWC-class array — the shape family XLA lays out
+            # copy-free around dots — and every dot has adjacent free dims.
+            # The instance norm is folded into per-batch out-projection
+            # weights so no elementwise op touches a full-size tensor (its
+            # normalize-write is what drags XLA's layout assignment into
+            # batch-minor layout bouncing).
+            out = self._per_head_core(u, k_x, k_y, w_in, w_o1)
         else:
-            phi = axial_apply_headmajor(
-                k_x.astype(u_phi.dtype), k_y.astype(u_phi.dtype), u_phi
-            )
+            # head-major + block-diagonal MXU packing: at <= 32x32 the
+            # per-head dots' K=M<=32 MXU starvation cancels the copy
+            # savings (measured tie at 32x32, loss below)
+            u_phi = jnp.einsum("bhwc,cnd->bnhwd", u, w_in)
+            phi = axial_apply_headmajor(k_x, k_y, u_phi)
             out = instance_norm_headmajor(phi)
             # fold the (head-major -> channel) relayout into out_fc1
             out = jnp.einsum("bnhwd,ndo->bhwo", out, w_o1.astype(out.dtype))
         out = gelu(out)
         out = Conv1x1(self.dim_out, use_bias=False, name="out_fc2")(out)
         return out + u_skip
+
+    @staticmethod
+    def _per_head_core(u, k_x, k_y, w_in, w_o1):
+        heads = k_x.shape[1]
+        acc = None
+        for n in range(heads):
+            phi = jnp.einsum("bhwc,cd->bhwd", u, w_in[:, n])
+            x = jnp.einsum("bih,bhwd->biwd", k_x[:, n], phi)   # row apply
+            x = x.transpose(0, 2, 1, 3)                        # [b, w, i, d]
+            x = jnp.einsum("blw,bwid->blid", k_y[:, n], x)     # col apply
+            # instance-norm statistics per (b, d) over (l, i), f32 accum
+            if x.dtype == jnp.float32:
+                mean = jnp.mean(x, axis=(1, 2))
+                var = jnp.mean(
+                    jnp.square(x - mean[:, None, None, :]), axis=(1, 2))
+            else:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=(1, 2))
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xf), axis=(1, 2)) - jnp.square(mean),
+                    0.0)
+            inv = jax.lax.rsqrt(var + 1e-5)                    # [b, d]
+            w1f = w_o1[n].astype(jnp.float32)                  # [d, o]
+            wp = (inv[:, :, None] * w1f[None]).astype(x.dtype)
+            bias = ((mean * inv) @ w1f).astype(x.dtype)        # [b, o]
+            t = jnp.einsum("blid,bdo->blio", x, wp) - bias[:, None, None, :]
+            acc = t if acc is None else acc + t
+        # [b, w, h, o] -> [b, h, w, o]
+        return acc.transpose(0, 2, 1, 3)

@@ -36,19 +36,44 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
         orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
         batch_shape = x.shape[:1]
         spatial = x.shape[1:-1]
-        xg = xf.reshape(batch_shape + (-1, g, c // g))  # [B, S, G, C/G]
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
-        xg = (xg - mean) / jnp.sqrt(var + self.eps)
-        out = xg.reshape(batch_shape + spatial + (c,))
+        scale = bias = None
         if self.use_affine:
             scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-            out = out * scale + bias
-        return out.astype(orig_dtype)
+        if orig_dtype == jnp.float32:
+            # two-pass form: numerically exact (golden f32 path)
+            xg = x.reshape(batch_shape + (-1, g, c // g))  # [B, S, G, C/G]
+            mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+            var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+            xg = (xg - mean) / jnp.sqrt(var + self.eps)
+            out = xg.reshape(batch_shape + spatial + (c,))
+            if self.use_affine:
+                out = out * scale + bias
+            return out
+        # Low-precision activations: single-co-pass stats with f32
+        # accumulation (no materialized f32 copy of the tensor), then the
+        # affine transform folded into ONE activation-width elementwise
+        # pass: out = x * (inv*scale) + (bias - mean*inv*scale).
+        xg = x.reshape(batch_shape + (-1, g, c // g))
+        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)    # [B, G]
+        sq = jnp.mean(
+            jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.eps)                    # [B, G]
+        inv_c = jnp.repeat(inv, c // g, axis=-1)               # [B, C]
+        mean_c = jnp.repeat(mean, c // g, axis=-1)
+        if self.use_affine:
+            sc = inv_c * scale[None]
+            sh = bias[None] - mean_c * sc
+        else:
+            sc = inv_c
+            sh = -mean_c * sc
+        bcast = (slice(None),) + (None,) * len(spatial) + (slice(None),)
+        return (
+            x * sc[bcast].astype(orig_dtype) + sh[bcast].astype(orig_dtype)
+        )
 
 
 class LayerNorm(nn.Module):

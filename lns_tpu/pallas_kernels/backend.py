@@ -24,6 +24,11 @@ def enabled() -> bool:
     env = os.environ.get("LNS_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    # default: opt-in (flip to backend-detection once kernels are validated
-    # at full benchmark scale on hardware)
+    # Default OFF — settled by round-2 measurements (DESIGN.md "Pallas on
+    # this stack"): Pallas DMA sustains ~260 GB/s on v5e-via-axon vs XLA's
+    # 671 GB/s (probe_pallas_bw.py), so even pass-minimal kernels lose to
+    # the XLA formulations at every benchmark shape (pipeline 84.9 ms vs
+    # 63.2 decode; fused axial+IN 50.6 ms vs 17.7 XLA). The kernels remain
+    # a validated, golden-tested library for stacks where Pallas DMA runs
+    # at full bandwidth.
     return False

@@ -38,26 +38,69 @@ def test_axial_kernel_matches_einsum(shape):
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=5e-5)
 
 
-def test_fablock_pallas_path_matches_xla_path():
-    import lns_tpu.ops as ops
-    from lns_tpu.pallas_kernels import backend
+def test_headmajor_pallas_kernel_matches_xla():
+    """The library Pallas kernel (head-major fused axial apply) must match
+    the XLA reference formulation. FABlock2D itself uses the measured-
+    fastest per-head XLA formulation (DESIGN.md) — the Pallas kernels are
+    kept as a library of validated (and honestly benchmarked) ops."""
+    from lns_tpu.ops.factorized_attention import axial_apply_headmajor
+    from lns_tpu.pallas_kernels.axial_attention import (
+        axial_kernel_apply_headmajor,
+    )
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 64))
-    fab = ops.FABlock2D(64, 16, 16, 4, 64)
-    p = fab.init(jax.random.PRNGKey(1), x)
-    backend.set_enabled(False)
-    ref = fab.apply(p, x)
-    import lns_tpu.pallas_kernels.axial_attention as ax
-
-    orig = ax.axial_kernel_apply_headmajor
-    try:
-        # pallas path in interpret mode (CPU)
-        ax.axial_kernel_apply_headmajor = lambda kx, ky, phi, interpret=False: orig(
-            kx, ky, phi, interpret=True
-        )
-        backend.set_enabled(True)
-        out = fab.apply(p, x)
-    finally:
-        backend.set_enabled(None)
-        ax.axial_kernel_apply_headmajor = orig
+    B, heads, H, W, d = 2, 4, 8, 16, 64
+    kx = jax.random.normal(jax.random.PRNGKey(1), (B, heads, H, H))
+    ky = jax.random.normal(jax.random.PRNGKey(2), (B, heads, W, W))
+    phi = jax.random.normal(jax.random.PRNGKey(0), (B, heads, H, W, d))
+    out = axial_kernel_apply_headmajor(
+        kx.reshape(B * heads, H, H), ky.reshape(B * heads, W, W),
+        phi.reshape(B * heads, H, W, d), interpret=True,
+    ).reshape(B, heads, H, W, d)
+    ref = axial_apply_headmajor(kx, ky, phi)
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=5e-5)
+
+
+def test_fablock_perhead_path_matches_headmajor_math():
+    """FABlock2D dispatches to per-head chains for h*w > 1024; its output
+    must equal the head-major formulation run with the same params."""
+    import flax.core
+    import lns_tpu.ops as ops
+    from lns_tpu.ops.factorized_attention import (
+        axial_apply_headmajor,
+        instance_norm_headmajor,
+    )
+
+    h, w, c, heads, d = 40, 28, 16, 2, 8
+    assert h * w > 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, c))
+    fab = ops.FABlock2D(c, d, d, heads, c)
+    p = fab.init(jax.random.PRNGKey(1), x)
+    out = fab.apply(p, x)
+
+    # head-major reference with the same params, built from the module's
+    # own submodule outputs (capture intermediates via a manual re-run)
+    params = flax.core.unfreeze(p)["params"]
+    u = ops.GroupNorm(1, c, eps=1e-5).apply(
+        {"params": params["in_norm"]}, x)
+    w_in = params["in_proj"]["kernel"].reshape(c, heads, d)
+    w_o1 = params["out_fc1"]["kernel"].reshape(heads, d, c)
+    u_in = ops.Conv1x1(c, use_bias=False).apply(
+        {"params": params["to_in"]}, u)
+    from lns_tpu.ops.factorized_attention import LowRankKernel, PoolingReducer
+
+    u_x = PoolingReducer(c, c, d).apply({"params": params["to_x"]}, u_in)
+    u_y = PoolingReducer(c, c, d).apply(
+        {"params": params["to_y"]}, u_in.transpose(0, 2, 1, 3))
+    kx = LowRankKernel(d, d * 2, heads, use_rotary_emb=True).apply(
+        {"params": params["low_rank_kernel_x"]}, u_x)
+    ky = LowRankKernel(d, d * 2, heads, use_rotary_emb=True).apply(
+        {"params": params["low_rank_kernel_y"]}, u_y)
+    u_phi = jnp.einsum("bhwc,cnd->bnhwd", u, w_in)
+    phi = axial_apply_headmajor(kx, ky, u_phi)
+    ref = instance_norm_headmajor(phi)
+    ref = jnp.einsum("bnhwd,ndo->bhwo", ref, w_o1)
+    ref = jax.nn.gelu(ref, approximate=False)
+    ref = ops.Conv1x1(c, use_bias=False).apply(
+        {"params": params["out_fc2"]}, ref)
+    ref = ref + x
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-4)
