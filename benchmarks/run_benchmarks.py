@@ -220,7 +220,11 @@ def main():
         if args.stage1:
             r.update(bench_stage1_train_step(name))
         results[name] = r
-        print(f"{name}: {json.dumps(r)}")
+        print(f"{name}: {json.dumps(r)}", flush=True)
+        # per-workload result files (the canonical benchmark artifacts)
+        per = {"device": results["device"], name: r}
+        with open(f"benchmarks/results_{name}.json", "w") as f:
+            json.dump(per, f, indent=2)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
