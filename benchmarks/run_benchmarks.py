@@ -176,7 +176,7 @@ def bench_stage1_train_step(name, dtype=jnp.float32, reps=5):
             p, os_ = carry
 
             def loss_fn(q):
-                x_hat = ae.apply({"params": q}, x)
+                x_hat = ae.apply({"params": q}, x).astype(jnp.float32)
                 return relative_lp_loss(x_hat, x, reduce_dim=(1, 2), reduce_all=True)
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -198,9 +198,10 @@ def bench_stage1_train_step(name, dtype=jnp.float32, reps=5):
 
     t1, tn = t(1), t(1 + reps)
     dt = (tn - t1) / reps
+    key = "stage1" if dtype == jnp.float32 else "stage1_bf16"
     return {
-        "stage1_step_ms": round(dt * 1e3, 2),
-        "stage1_samples_per_sec": round(batch / dt, 1),
+        f"{key}_step_ms": round(dt * 1e3, 2),
+        f"{key}_samples_per_sec": round(batch / dt, 1),
     }
 
 
@@ -219,6 +220,8 @@ def main():
             r.update(bench_train_step(name))
         if args.stage1:
             r.update(bench_stage1_train_step(name))
+            # mixed-precision training path (bf16 activations, f32 loss)
+            r.update(bench_stage1_train_step(name, dtype=jnp.bfloat16))
         results[name] = r
         print(f"{name}: {json.dumps(r)}", flush=True)
         # per-workload result files (the canonical benchmark artifacts)

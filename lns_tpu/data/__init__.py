@@ -19,3 +19,4 @@ from lns_tpu.data.twophase import (
 from lns_tpu.data.shallow_water import SWStage1, SWStage2, SW2DDataSimple
 from lns_tpu.data.km2d import KM2DStage1, KM2DStage2
 from lns_tpu.data.loader import epoch_batches
+from lns_tpu.data.prefetch import prefetch_to_device

@@ -114,7 +114,8 @@ class LatentDynamics:
         _, z_pred = lax.scan(step, z, None, length=t_out,
                              unroll=not use_remat)
         z_pred = jnp.moveaxis(z_pred, 0, 1)  # [b, t_out, ...]
-        return loss_fn(z_pred, z_out)
+        # loss always in f32 (mixed-precision rollouts produce bf16 preds)
+        return loss_fn(z_pred.astype(jnp.float32), z_out.astype(jnp.float32))
 
     # -- fused autoregressive inference -------------------------------------
     def predict_latents(self, params, x, steps: int, cond=None):

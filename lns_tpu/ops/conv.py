@@ -113,6 +113,10 @@ class ConvND(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         dn = _dim_numbers(nd)
+        # NOTE: no preferred_element_type=f32 here — the MXU accumulates
+        # bf16 convs in f32 regardless and the output is cast to `dtype`
+        # immediately, while the flag makes jax's conv VJP build a
+        # mixed-dtype transposed conv (TypeError under grad).
         out = lax.conv_general_dilated(
             x,
             kernel,
@@ -120,7 +124,6 @@ class ConvND(nn.Module):
             padding=conv_pads,
             rhs_dilation=dil,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
         )
         out = out.astype(dtype)
         if bias is not None:

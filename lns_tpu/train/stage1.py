@@ -28,6 +28,7 @@ from lns_tpu.data import (
     SWStage1,
     TankSloshingStage1,
     epoch_batches,
+    prefetch_to_device,
 )
 from lns_tpu.models import SimpleAutoencoder
 from lns_tpu.ops.losses import relative_lp_loss
@@ -84,7 +85,11 @@ class Stage1Trainer:
         # two-phase computes the training loss on denormalized fields
         self.loss_on_denorm = cfg.workload.startswith("twophase")
 
-        self.model = SimpleAutoencoder(cfg)
+        # mixed_precision: true -> bf16 activations, f32 params/optimizer
+        # (the loss is computed in f32). A TPU-native option the reference
+        # has no equivalent of (no AMP anywhere, SURVEY.md end of intro).
+        self.compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
+        self.model = SimpleAutoencoder(cfg, dtype=self.compute_dtype)
         sample = self.train_ds.get_batch(np.arange(1))
         self.key, k = jax.random.split(self.key)
         variables = self.model.init(k, jnp.asarray(sample))
@@ -107,6 +112,7 @@ class Stage1Trainer:
     # ------------------------------------------------------------------
     def _loss(self, params, x):
         x_hat = self.model.apply({"params": params}, x)
+        x_hat = x_hat.astype(jnp.float32)  # loss always in f32
         if self.loss_on_denorm:
             x_hat = self.train_ds.denormalize(x_hat)
             x = self.train_ds.denormalize(x)
@@ -151,9 +157,11 @@ class Stage1Trainer:
             if epoch % cfg.ckpt_every == 0:
                 self.validate(epoch)
                 self.save(epoch)
-            for idx in epoch_batches(n, cfg.batch_size, rng,
-                                     drop_last=self.mesh is not None):
-                x = self._put(self.train_ds.get_batch(idx))
+            batches = (self.train_ds.get_batch(idx)
+                       for idx in epoch_batches(n, cfg.batch_size, rng,
+                                                drop_last=self.mesh is not None))
+            # overlap next batch's host slice + transfer with this step
+            for x in prefetch_to_device(batches, self._put):
                 self.params, self.opt_state, loss = self._train_step(
                     self.params, self.opt_state, x
                 )

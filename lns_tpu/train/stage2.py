@@ -27,6 +27,7 @@ from lns_tpu.data import (
     SWStage2,
     TankSloshingStage2,
     epoch_batches,
+    prefetch_to_device,
 )
 from lns_tpu.models import LatentDynamics
 from lns_tpu.ops.losses import relative_lp_loss
@@ -69,7 +70,10 @@ class Stage2Trainer:
         self.logger = MetricLogger(cfg.log_dir, project=cfg.project_name,
                                    config=cfg.to_dict(), use_wandb=use_wandb)
 
-        self.model = LatentDynamics(cfg)
+        # mixed_precision: true -> bf16 activations through the frozen AE
+        # and the propagator rollout; params/optimizer/loss stay f32
+        dt = jnp.bfloat16 if cfg.mixed_precision else None
+        self.model = LatentDynamics(cfg, dtype=dt, ae_dtype=dt)
         ds_cls = STAGE2_DATASETS[cfg.workload]
         self.train_ds = ds_cls(cfg, train_mode=True)
         self.val_ds = ds_cls(cfg, train_mode=False)
@@ -173,17 +177,21 @@ class Stage2Trainer:
             if epoch % cfg.ckpt_every == 0:
                 self.validate(epoch)
                 self.save(epoch)
-            for idx in epoch_batches(n, cfg.batch_size, rng, drop_last=True):
-                batch = self.train_ds.get_batch(idx)
+            def put(batch):
                 if self.conditional:
                     z_in, z_out, cond = batch
                 else:
-                    z_in, z_out = batch
-                    cond = None
+                    (z_in, z_out), cond = batch, None
+                return self._put(z_in), self._put(z_out), self._put(cond)
+
+            batches = (self.train_ds.get_batch(idx)
+                       for idx in epoch_batches(n, cfg.batch_size, rng,
+                                                drop_last=True))
+            # overlap next batch's host slice + transfer with this step
+            for z_in, z_out, cond in prefetch_to_device(batches, put):
                 self.key, k = jax.random.split(self.key)
                 self.prop_params, self.opt_state, loss = self._train_step(
-                    self.prop_params, self.opt_state,
-                    self._put(z_in), self._put(z_out), self._put(cond), k,
+                    self.prop_params, self.opt_state, z_in, z_out, cond, k,
                 )
                 self.logger.log({"loss": loss})
         self.validate(cfg.epochs)

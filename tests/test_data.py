@@ -173,3 +173,20 @@ def test_pixel_space_twins(tmp_path):
     ds = SW2DDataSimple(cfg, train_mode=True)
     x_in, x_out = ds.get_batch(np.arange(2))
     assert x_in.shape == (2, 1, 8, 16, 3) and x_out.shape == (2, 2, 8, 16, 3)
+
+
+def test_prefetch_to_device_order_and_lookahead():
+    """prefetch_to_device yields every batch in order and stages `size`
+    transfers ahead of the consumer."""
+    from lns_tpu.data.prefetch import prefetch_to_device
+
+    staged = []
+    out = []
+    gen = prefetch_to_device(iter(range(6)), lambda b: (staged.append(b), b)[1],
+                             size=2)
+    first = next(gen)
+    # two batches staged before the first is consumed
+    assert staged == [0, 1] and first == 0
+    out = [first] + list(gen)
+    assert out == list(range(6))
+    assert staged == list(range(6))

@@ -41,7 +41,7 @@ def test_stage2_trains_from_stage1_ckpt(ns2d_cfg, tmp_path):
         t1 = Stage1Trainer(ns2d_cfg, use_wandb=False)
         t1.save("final")
     cfg2 = ns2d_cfg.replace(
-        log_dir=str(tmp_path / "s2"),
+        log_dir=str(tmp_path / "log_s2"),
         pretrained_checkpoint_path=os.path.join(
             ns2d_cfg.log_dir, "checkpoints", "vqgan_epoch_final.msgpack"
         ),
@@ -85,7 +85,7 @@ def test_stage2_noise_injection_path(tmp_path):
     t1 = Stage1Trainer(cfg.replace(log_dir=str(tmp_path / "s1")), use_wandb=False)
     t1.save("final")
     cfg2 = cfg.replace(
-        log_dir=str(tmp_path / "s2"),
+        log_dir=str(tmp_path / "log_s2"),
         pretrained_checkpoint_path=os.path.join(tmp_path, "s1", "checkpoints",
                                                 "vqgan_epoch_final.msgpack"),
     )
@@ -163,3 +163,32 @@ def test_twophase_stage1_dp_mesh_denorm_loss(tmp_path):
     x = t.train_ds.get_batch(np.arange(8))
     p, o, loss = t._train_step(t.params, t.opt_state, t._put(x))
     assert np.isfinite(float(loss))
+
+
+def test_mixed_precision_training_both_stages(tmp_path):
+    """mixed_precision: true trains with bf16 activations while params and
+    losses stay f32 and finite (a TPU-native option the reference lacks)."""
+    import jax.numpy as jnp
+
+    cfg = synthetic_config("ns2d", str(tmp_path), epochs=1).replace(
+        mixed_precision=True, log_dir=str(tmp_path / "log_s1"))
+    t1 = Stage1Trainer(cfg, use_wandb=False)
+    assert t1.model.dtype == jnp.bfloat16
+    t1.train()
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(t1.params))
+
+    cfg2 = cfg.replace(
+        log_dir=str(tmp_path / "log_s2"),
+        pretrained_checkpoint_path=os.path.join(
+            cfg.log_dir, "checkpoints", "vqgan_epoch_final.msgpack"),
+        learning_rate=5e-4,
+        epochs=1,
+    )
+    t2 = Stage2Trainer(cfg2, use_wandb=False)
+    loss = t2.validate("pre")
+    assert np.isfinite(loss)
+    t2.train()
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(t2.prop_params))
+    assert all(np.all(np.isfinite(np.asarray(p)))
+               for p in jax.tree.leaves(t2.prop_params))
