@@ -173,6 +173,16 @@ def instance_norm_headmajor(phi, eps: float = 1e-5):
     return (phi - mean.astype(phi.dtype)) * inv.astype(phi.dtype)
 
 
+def _per_head_min_hw() -> int:
+    """Spatial-size threshold (h*w) at which FABlock2D switches from the
+    head-major blockdiag formulation to per-head chains. 1025 = strictly
+    above 32x32, where the two formulations measured a tie (DESIGN.md).
+    Env-tunable for benchmarking shape-dispatch variants."""
+    import os
+
+    return int(os.environ.get("LNS_TPU_FAB_PER_HEAD_MIN_HW", "1025"))
+
+
 class FABlock2D(nn.Module):
     """Factorized attention block on NHWC fields (reference:
     factorized_attention.py:97-160).
@@ -225,7 +235,7 @@ class FABlock2D(nn.Module):
         k_y = k_y.astype(u.dtype)
 
         h, w = u.shape[1], u.shape[2]
-        if h * w > 1024:
+        if h * w >= _per_head_min_hw():
             # Per-head chains (measured fastest at spatial sizes > 32x32;
             # DESIGN.md "Factorized attention" item 4): the 8x-inflated 5D
             # head-major tensor never exists. Each head's value tensor is a
