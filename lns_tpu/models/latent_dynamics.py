@@ -36,6 +36,7 @@ class LatentDynamics:
 
     def __init__(self, cfg, dtype=None, ae_dtype=None):
         self.cfg = cfg
+        self.dtype = dtype
         self.ae = SimpleAutoencoder(cfg, dtype=ae_dtype)
         self.propagator = build_propagator(cfg, dtype=dtype)
         self.conditional = cfg.is_conditional
@@ -99,6 +100,10 @@ class LatentDynamics:
         t_out = z_out.shape[1]
         z = z_in[:, 0]  # squeeze only the time axis (fixes reference defect
         # 2.10-11: z_in.squeeze() broke batch-size-1)
+        if self.dtype is not None:
+            # the scan carry must match the propagator's compute dtype
+            # (e.g. f32 latents entering a bf16 mixed-precision rollout)
+            z = z.astype(self.dtype)
         use_remat = bool(self.cfg.remat) if remat is None else remat
 
         def step_fn(carry):
@@ -122,6 +127,8 @@ class LatentDynamics:
         """Encode once, scan `steps` propagator applications; returns
         [b, steps, h, w, c] latents."""
         z0 = self.encode(params, x)
+        if self.dtype is not None:
+            z0 = z0.astype(self.dtype)  # carry dtype == propagator dtype
 
         def step(carry, _):
             z_new = self.propagate(params, carry, cond)

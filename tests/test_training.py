@@ -192,3 +192,23 @@ def test_mixed_precision_training_both_stages(tmp_path):
                for p in jax.tree.leaves(t2.prop_params))
     assert all(np.all(np.isfinite(np.asarray(p)))
                for p in jax.tree.leaves(t2.prop_params))
+
+
+def test_bf16_rollout_accepts_f32_latents_and_cond(tmp_path):
+    """Regression: the scan carry must be cast to the propagator compute
+    dtype — f32 latents entering a bf16 mixed-precision rollout (and the
+    conditional FiLM path) previously tripped the scan carry-type check."""
+    cfg = synthetic_config("twophase_conditional", str(tmp_path), epochs=1)
+    from lns_tpu.models import LatentDynamics
+
+    m = LatentDynamics(cfg, dtype=jnp.bfloat16, ae_dtype=jnp.bfloat16)
+    shape = (2, cfg.resolutions[0], cfg.resolutions[1], cfg.in_channels)
+    p = m.init(jax.random.PRNGKey(0), shape)["params"]
+    z_in = jnp.ones((2, 1, 7, 15, cfg.latent_dim), jnp.float32)
+    z_out = jnp.ones((2, 3, 7, 15, cfg.latent_dim), jnp.float32)
+    cond = jnp.ones((2,), jnp.float32)
+    loss = m.rollout_loss(
+        {"vq_ae": p["vq_ae"], "propagator": p["propagator"]}, z_in, z_out, cond)
+    assert np.isfinite(float(loss))
+    y = m.predict({"params": p}, jnp.ones(shape), 3, cond=cond, to_x=True)
+    assert y.shape[1] == 3 and np.all(np.isfinite(np.asarray(y, np.float32)))
