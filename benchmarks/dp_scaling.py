@@ -95,11 +95,22 @@ def main():
         x = shard_batch(mesh, jnp.ones(x_shape))
         p1, o1, l1 = step1(params["vq_ae"], opt1, x)
         jax.block_until_ready(l1)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            p1, o1, l1 = step1(p1, o1, x)
-        jax.block_until_ready(l1)
-        dt1 = (time.perf_counter() - t0) / args.steps
+
+        def best_of(run, k=2):
+            best = float("inf")
+            for _ in range(k):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            return best / args.steps
+
+        def run1():
+            nonlocal p1, o1, l1
+            for _ in range(args.steps):
+                p1, o1, l1 = step1(p1, o1, x)
+            jax.block_until_ready(l1)
+
+        dt1 = best_of(run1)
 
         # stage-2 step
         tx2 = optax.adam(1e-3)
@@ -120,11 +131,14 @@ def main():
                         out_shardings=(rep, rep, rep))
         p2, o2, l2 = step2(params["propagator"], opt2, z_in, z_out)
         jax.block_until_ready(l2)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            p2, o2, l2 = step2(p2, o2, z_in, z_out)
-        jax.block_until_ready(l2)
-        dt2 = (time.perf_counter() - t0) / args.steps
+
+        def run2():
+            nonlocal p2, o2, l2
+            for _ in range(args.steps):
+                p2, o2, l2 = step2(p2, o2, z_in, z_out)
+            jax.block_until_ready(l2)
+
+        dt2 = best_of(run2)
 
         point = {
             "devices": n,
