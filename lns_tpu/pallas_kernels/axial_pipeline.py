@@ -16,6 +16,14 @@ bridging exists at all:
 
 HBM traffic: 8 passes of the value tensor vs ~18 for the XLA formulation.
 Instance norm stays in XLA (it fuses into the consumer projection).
+
+MEASURED RESULT (round 2, v5e-via-axon — why this is NOT the default):
+Pallas DMA sustains only ~260 GB/s on this stack vs XLA's 671
+(benchmarks/probe_pallas_bw.py), so the pass-count advantage inverts:
+84.9 ms NS2d decode vs 63.2 for the XLA path, and the standalone
+transpose_hw runs at 99 GB/s. Kept as a validated library kernel for
+stacks where Pallas DMA runs at full bandwidth (see DESIGN.md "Pallas on
+this stack").
 """
 
 from __future__ import annotations
