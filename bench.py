@@ -16,11 +16,13 @@ Baseline: the reference implementation decodes inside a Python loop on an
 A100 (estimated ~5,000 frames/s at batch 32; BASELINE.md "A100 estimate").
 vs_baseline = measured / 5000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline",
+"sensitivity_band"}; the human-readable sensitivity note goes to stderr.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -95,16 +97,17 @@ def main():
     fps = BATCH * STEPS / per_rollout
     # sensitivity band for the analytic A100 denominator (BASELINE.md
     # "Sensitivity of the 5,000 f/s denominator"): 10-25% A100 utilization
-    # -> 3.3k-8k f/s. Printed BEFORE the driver's single JSON line.
+    # -> 3.3k-8k f/s. Goes to stderr so stdout stays ONE parseable JSON line.
     print(f"# A100-denominator sensitivity: vs_baseline spans "
           f"{fps / 8000.0:.2f}x (25% util, 8k f/s) .. "
           f"{fps / 3300.0:.2f}x (10% util, 3.3k f/s); "
-          f"headline uses 5k f/s")
+          f"headline uses 5k f/s", file=sys.stderr)
     print(json.dumps({
         "metric": "ns2d_rollout_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_TORCH_BASELINE_FPS, 2),
+        "sensitivity_band": [round(fps / 8000.0, 2), round(fps / 3300.0, 2)],
     }))
 
 

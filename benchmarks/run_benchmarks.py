@@ -12,14 +12,27 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
 
 import jax
 
-os.makedirs("/root/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+# persistent compile cache: env override > /root/jax_cache (this machine) >
+# a tempdir fallback for machines without a writable /root
+_cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _cache is None:
+    _cache = "/root/jax_cache"
+    try:
+        os.makedirs(_cache, exist_ok=True)
+    except OSError:
+        _cache = os.path.join(tempfile.gettempdir(), "jax_cache")
+        os.makedirs(_cache, exist_ok=True)
+else:
+    os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 
 import jax.numpy as jnp
 import numpy as np
@@ -77,11 +90,31 @@ WORKLOADS = {
 }
 
 
-def bench_workload(name, dtype=jnp.bfloat16, reps=8):
-    from lns_tpu.models import LatentDynamics
-    from lns_tpu.utils.profiling import measure_host_rtt
+def _timed_best(fn, n, tries=3):
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        fn(n)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
-    cfg_fn, shape, steps, batch = WORKLOADS[name]
+
+def _diff_time(fn, reps):
+    """Per-iteration time via the tunnel-safe difference protocol, plus an
+    uncertainty estimate: the measurement can resolve no finer than the
+    spread between repeated t1 / t(1+reps) timings divided by reps."""
+    samples_1 = [_timed_best(fn, 1, tries=1) for _ in range(3)]
+    samples_n = [_timed_best(fn, 1 + reps, tries=1) for _ in range(3)]
+    dt = (min(samples_n) - min(samples_1)) / reps
+    err = (max(samples_1) - min(samples_1) + max(samples_n) - min(samples_n)) / reps
+    return dt, err
+
+
+def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None):
+    from lns_tpu.models import LatentDynamics
+
+    cfg_fn, shape, steps, default_batch = WORKLOADS[name]
+    batch = batch or default_batch
     cfg = cfg_fn()
     model = LatentDynamics(cfg, dtype=dtype, ae_dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch,) + shape, jnp.float32)
@@ -95,31 +128,30 @@ def bench_workload(name, dtype=jnp.bfloat16, reps=8):
 
         return jax.lax.fori_loop(0, n, body, x)[0, 0, 0, 0]
 
-    rtt = measure_host_rtt()
-    np.asarray(rollout_chain(params, x, 1))
-    t0 = time.perf_counter()
-    np.asarray(rollout_chain(params, x, reps))
-    dt = time.perf_counter() - t0 - rtt
-    fps = batch * steps / (dt / reps)
+    run = lambda n: np.asarray(rollout_chain(params, x, n))
+    run(1)  # compile + warmup
+    dt, err = _diff_time(run, reps)
+    fps = batch * steps / dt
     return {
         "rollout_steps": steps,
         "batch": batch,
-        "rollout_ms": round(dt / reps * 1e3, 2),
+        "rollout_ms": round(dt * 1e3, 2),
+        "rollout_ms_err": round(err * 1e3, 2),
         "frames_per_sec_per_chip": round(fps, 1),
     }
 
 
-def bench_train_step(name, dtype=jnp.float32, reps=10):
-    """Stage-2 rollout-BPTT training step throughput (samples/s)."""
+def bench_train_step(name, dtype=jnp.float32, reps=10, batch=32):
+    """Stage-2 rollout-BPTT training step throughput (samples/s), with an
+    uncertainty bound from the difference protocol's timing spread — at the
+    NS2d latent size the step is sub-resolution, so the error matters."""
     import optax
 
     from lns_tpu.models import LatentDynamics
-    from lns_tpu.utils.profiling import measure_host_rtt
 
     cfg_fn, shape, steps, _ = WORKLOADS[name]
     cfg = cfg_fn()
     model = LatentDynamics(cfg, dtype=dtype, ae_dtype=dtype)
-    batch = 32
     lr_h = cfg.latent_resolution
     lr_w = {"ns2d": 8, "sw": 24, "twophase": 15}[name]
     z_in = jax.random.normal(jax.random.PRNGKey(1), (batch, 1, lr_h, lr_w, cfg.latent_dim))
@@ -143,15 +175,19 @@ def bench_train_step(name, dtype=jnp.float32, reps=10):
         pp, _ = jax.lax.fori_loop(0, n, body, (prop_params, opt_state))
         return jax.tree.leaves(pp)[0].ravel()[0]
 
-    rtt = measure_host_rtt()
-    np.asarray(step_chain(params["propagator"], opt_state, 1))
-    t0 = time.perf_counter()
-    np.asarray(step_chain(params["propagator"], opt_state, reps))
-    dt = time.perf_counter() - t0 - rtt
-    return {
-        "train_step_ms": round(dt / reps * 1e3, 2),
-        "train_samples_per_sec": round(batch / (dt / reps), 1),
+    run = lambda n: np.asarray(step_chain(params["propagator"], opt_state, n))
+    run(1)  # compile + warmup
+    dt, err = _diff_time(run, reps)
+    out = {
+        "train_step_ms": round(dt * 1e3, 3),
+        "train_step_ms_err": round(err * 1e3, 3),
+        "train_samples_per_sec": round(batch / dt, 1),
     }
+    if err > 0.5 * max(dt, 1e-9):
+        out["train_step_note"] = (
+            "step time below measurement resolution; samples/s is a lower-"
+            "confidence figure")
+    return out
 
 
 def bench_stage1_train_step(name, dtype=jnp.float32, reps=5):
@@ -205,13 +241,41 @@ def bench_stage1_train_step(name, dtype=jnp.float32, reps=5):
     }
 
 
+def batch_sweep(workloads, batches=(8, 16, 32, 64, 128, 256)):
+    """Single-chip batch-scaling curves: rollout throughput vs batch size.
+
+    This is the honest single-chip scaling evidence (BASELINE.md): fixed
+    model, growing batch — shows where the chip saturates and how much of
+    the small-batch time is fixed overhead. Writes results_batch_scaling.json.
+    """
+    results = {"device": str(jax.devices()[0])}
+    for name in workloads:
+        rows = []
+        for b in batches:
+            r = bench_workload(name, batch=b, reps=4)
+            rows.append(r)
+            print(f"{name} batch={b}: {json.dumps(r)}", flush=True)
+        results[name] = rows
+        with open(os.path.join(HERE, "results_batch_scaling.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--workloads", default="ns2d,sw,twophase")
     p.add_argument("--train-steps", action="store_true", help="also bench train steps")
     p.add_argument("--stage1", action="store_true", help="also bench stage-1 AE train steps")
+    p.add_argument("--batch-sweep", action="store_true",
+                   help="rollout batch-scaling curves (results_batch_scaling.json)")
+    p.add_argument("--batches", default="8,16,32,64,128,256")
     args = p.parse_args()
+
+    if args.batch_sweep:
+        batch_sweep(args.workloads.split(","),
+                    tuple(int(b) for b in args.batches.split(",")))
+        return
 
     results = {"device": str(jax.devices()[0])}
     for name in args.workloads.split(","):
@@ -224,9 +288,10 @@ def main():
             r.update(bench_stage1_train_step(name, dtype=jnp.bfloat16))
         results[name] = r
         print(f"{name}: {json.dumps(r)}", flush=True)
-        # per-workload result files (the canonical benchmark artifacts)
+        # per-workload result files (the canonical benchmark artifacts),
+        # anchored to this file's directory so any CWD works
         per = {"device": results["device"], name: r}
-        with open(f"benchmarks/results_{name}.json", "w") as f:
+        with open(os.path.join(HERE, f"results_{name}.json"), "w") as f:
             json.dump(per, f, indent=2)
     if args.out:
         with open(args.out, "w") as f:

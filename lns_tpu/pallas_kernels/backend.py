@@ -1,7 +1,8 @@
 """Pallas kernel enablement.
 
-Kernels default ON when the backend is TPU, OFF elsewhere (the XLA
-fallbacks are the reference implementations). Override with
+Kernels default OFF everywhere — the XLA formulations are faster on this
+stack (round-2 measurements, see `enabled()` below and DESIGN.md "Pallas on
+this stack"); the kernels remain a validated opt-in library. Override with
 LNS_TPU_PALLAS=0/1 or `set_enabled()`.
 """
 

@@ -54,16 +54,29 @@ class AsyncCheckpointer:
     def restore(self, path: str, template: Any):
         if self._ckptr is None:
             return load_pytree(template, path + ".msgpack")
-        return self._ckptr.restore(path, item=template)
+        return self._ckptr.restore(os.path.abspath(path), item=template)
 
     def wait(self):
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
 
 
+def restore_async_checkpoint(path: str, template: Any) -> Any:
+    """Restore an orbax directory checkpoint written by AsyncCheckpointer.save
+    (the `async_checkpoint: true` save path writes a directory, not a
+    msgpack file)."""
+    restored = AsyncCheckpointer().restore(path, template)
+    # orbax returns numpy leaves; keep the template's structure/dtypes
+    return jax.tree.map(lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype),
+                        template, restored)
+
+
 def load_autoencoder_checkpoint(cfg, path: str, template: Optional[Any] = None) -> Dict:
-    """Load stage-1 AE params from either a reference torch .pt or a native
-    .msgpack checkpoint."""
+    """Load stage-1 AE params from a reference torch .pt, a native .msgpack
+    file, or an orbax directory written by the async_checkpoint path."""
+    if os.path.isdir(path):
+        assert template is not None, "orbax restore needs a template tree"
+        return restore_async_checkpoint(path, template)
     if path.endswith(".pt"):
         from lns_tpu.utils.torch_compat import (
             convert_autoencoder,
@@ -77,7 +90,11 @@ def load_autoencoder_checkpoint(cfg, path: str, template: Optional[Any] = None) 
 
 
 def load_latent_dynamics_checkpoint(cfg, path: str, template: Optional[Any] = None) -> Dict:
-    """Load stage-2 {vq_ae, propagator} params from .pt or .msgpack."""
+    """Load stage-2 {vq_ae, propagator} params from .pt, .msgpack, or an
+    orbax directory (async_checkpoint save)."""
+    if os.path.isdir(path):
+        assert template is not None, "orbax restore needs a template tree"
+        return restore_async_checkpoint(path, template)
     if path.endswith(".pt"):
         from lns_tpu.utils.torch_compat import (
             convert_latent_dynamics,

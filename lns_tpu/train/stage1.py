@@ -246,18 +246,27 @@ class Stage1Trainer:
 
     def load(self, model_path: str):
         """Resume: restore params, and — for native checkpoints with
-        sidecars — the optimizer state and epoch counter, so training
-        continues from epoch k instead of replaying from 0."""
+        sidecars — the optimizer state, epoch counter, and training seed,
+        so training continues from epoch k with the exact batch order an
+        uninterrupted run would have seen. Accepts .msgpack files, torch
+        .pt, and orbax directories written by the async_checkpoint path."""
         from lns_tpu.train.checkpoint import load_pytree
 
         self.params = load_autoencoder_checkpoint(self.cfg, model_path, self.params)
         if model_path.endswith(".pt"):
             return
-        optim_path = model_path.replace("vqgan_epoch_", "optim_epoch_")
+        optim_path = model_path.rstrip("/").replace("vqgan_epoch_", "optim_epoch_")
+        if not optim_path.endswith(".msgpack"):
+            optim_path += ".msgpack"  # async saves name the model as a bare dir
         if optim_path != model_path and os.path.exists(optim_path):
             self.opt_state = load_pytree(self.opt_state, optim_path)
-        meta_path = model_path.replace("vqgan_epoch_", "meta_epoch_")
+        meta_path = model_path.rstrip("/").replace("vqgan_epoch_", "meta_epoch_")
         meta_path = os.path.splitext(meta_path)[0] + ".json"
         if meta_path != model_path and os.path.exists(meta_path):
             with open(meta_path) as f:
-                self.start_epoch = int(json.load(f)["epoch"])
+                meta = json.load(f)
+            self.start_epoch = int(meta["epoch"])
+            # the deterministic (seed, epoch) data order only holds if the
+            # resumed run uses the original seed, whatever was passed now
+            if "seed" in meta:
+                self.seed = int(meta["seed"])

@@ -45,6 +45,7 @@ from lns_tpu.train.logging_utils import (
     prepare_training,
 )
 from lns_tpu.train.optim import stage2_optimizer
+from lns_tpu.train.stage1 import CHANNEL_NAMES
 
 
 STAGE2_DATASETS = {
@@ -172,6 +173,7 @@ class Stage2Trainer:
         n = len(self.train_ds)
         # per-epoch data order is a pure function of (seed, epoch) so a
         # resumed run at epoch k sees exactly the batches a fresh run would
+        base_key = jax.random.PRNGKey(self.seed)
         for epoch in range(self.start_epoch, cfg.epochs):
             rng = np.random.default_rng([self.seed, epoch])
             if epoch % cfg.ckpt_every == 0:
@@ -187,9 +189,13 @@ class Stage2Trainer:
             batches = (self.train_ds.get_batch(idx)
                        for idx in epoch_batches(n, cfg.batch_size, rng,
                                                 drop_last=True))
+            # noise keys are a pure function of (seed, epoch, step), like the
+            # data order, so resume replays the identical noise stream
+            epoch_key = jax.random.fold_in(base_key, epoch)
             # overlap next batch's host slice + transfer with this step
-            for z_in, z_out, cond in prefetch_to_device(batches, put):
-                self.key, k = jax.random.split(self.key)
+            for step, (z_in, z_out, cond) in enumerate(
+                    prefetch_to_device(batches, put)):
+                k = jax.random.fold_in(epoch_key, step)
                 self.prop_params, self.opt_state, loss = self._train_step(
                     self.prop_params, self.opt_state, z_in, z_out, cond, k,
                 )
@@ -249,11 +255,26 @@ class Stage2Trainer:
         seq_err = np.concatenate(seq_errs)      # [n, c]
         seq_mean = seq_err.mean(axis=0)
         print(f"Averaged sequence-wise relative loss: {seq_mean}")
-        self.logger.log({"val_seq_rel_l2": float(seq_mean.mean())})
+        metrics = {"val_seq_rel_l2": float(seq_mean.mean())}
 
         sdir = os.path.join(cfg.log_dir, "samples")
         stride = max(1, steps // 6)
         nshow = min(4, sample_pred.shape[0])
+        names = CHANNEL_NAMES.get(cfg.workload, ())
+        if len(names) > 1:
+            # per-channel sequence-wise losses + per-channel sample/gt grids
+            # (reference train_stage2_SW.py:264-287 logs val_pred_loss_vx/
+            # vy/prs scalars and sample_vx_*.png etc. grids)
+            for c, name in enumerate(names):
+                print(f"Averaged sequence-wise relative loss on {name}: "
+                      f"{seq_mean[c]}")
+                metrics[f"val_pred_loss_{name}"] = float(seq_mean[c])
+                spath_c = os.path.join(sdir, f"sample_{name}_{epoch}.png")
+                gpath_c = os.path.join(sdir, f"gt_{name}_{epoch}.png")
+                log_sequence(sample_pred[:nshow, ::stride, :, :, c], spath_c)
+                log_sequence(sample_gt[:nshow, ::stride, :, :, c], gpath_c)
+                self.logger.log_image(f"sample_{name}", spath_c)
+        self.logger.log(metrics, echo=False)
         spath = os.path.join(sdir, f"sample_{epoch}.png")
         log_sequence(sample_pred[:nshow, ::stride, :, :, 0], spath)
         log_sequence(sample_gt[:nshow, ::stride, :, :, 0],
@@ -287,13 +308,19 @@ class Stage2Trainer:
         params = load_latent_dynamics_checkpoint(self.cfg, model_path, self.params)
         self.ae_params = params["vq_ae"]
         self.prop_params = params["propagator"]
-        optim_path = model_path.replace("model_", "optim_")
+        optim_path = model_path.rstrip("/").replace("model_", "optim_")
+        if not optim_path.endswith(".msgpack"):
+            optim_path += ".msgpack"  # async saves name the model as a bare dir
         if model_path != optim_path and os.path.exists(optim_path):
             self.opt_state = load_pytree(self.opt_state, optim_path)
-        meta_path = model_path.replace("model_", "meta_")
+        meta_path = model_path.rstrip("/").replace("model_", "meta_")
         meta_path = os.path.splitext(meta_path)[0] + ".json"
         if meta_path != model_path and os.path.exists(meta_path):
             with open(meta_path) as f:
-                self.start_epoch = int(json.load(f)["epoch"])
+                meta = json.load(f)
+            self.start_epoch = int(meta["epoch"])
+            # keep the deterministic (seed, epoch, step) order/noise stream
+            if "seed" in meta:
+                self.seed = int(meta["seed"])
         # the train step closes over ae_params; rebuild
         self._train_step = self._build_train_step()

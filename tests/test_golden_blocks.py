@@ -327,3 +327,81 @@ def test_sirennet_parity():
     yj = jnet.apply({"params": jax.tree.map(jnp.asarray, params)},
                     jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.array(yj), yt.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 1D / 3D variants (VERDICT round 2 item 5): executed-against-torch parity
+# for the dormant dimensionalities (reference modules/basics.py:55-96,
+# 152-221, 224-276).
+
+def _to_cl(t, nd):
+    """torch channels-first [b, c, *s] -> channels-last numpy [b, *s, c]."""
+    perm = (0,) + tuple(range(2, 2 + nd)) + (1,)
+    return t.permute(*perm).detach().numpy()
+
+
+def test_spectral_conv1d_parity():
+    # NOTE: the reference forward crashes as published — basics.py:95 passes
+    # n=(x.size(-1),) (a tuple) to torch.fft.irfft, which requires an int.
+    # We execute the reference's own spectral pipeline (its batchmul1d and
+    # weight layout) with the intended scalar n — the only runnable reading.
+    torch.manual_seed(0)
+    sc = REF.basics.SpectralConv1d(8, 16, 4).eval()
+    r = reader(sc)
+    params = {"weights": r.take("weights")}
+    jsc = ops.SpectralConv1d(8, 16, 4)
+    x = torch.randn(2, 8, 20)
+    with torch.no_grad():
+        x_ft = torch.fft.rfft(x)
+        out_ft = torch.zeros(2, 16, x.size(-1) // 2 + 1, dtype=torch.cfloat)
+        out_ft[:, :, :4] = REF.basics.batchmul1d(
+            x_ft[:, :, :4], torch.view_as_complex(sc.weights))
+        yt = torch.fft.irfft(out_ft, n=x.size(-1))
+    yj = jsc.apply({"params": jax.tree.map(jnp.asarray, params)},
+                   jnp.asarray(_to_cl(x, 1)))
+    np.testing.assert_allclose(np.array(yj), _to_cl(yt, 1), atol=1e-5)
+
+
+def test_spectral_conv3d_parity():
+    torch.manual_seed(0)
+    sc = REF.basics.SpectralConv3d(4, 8, 2, 3, 2).eval()
+    r = reader(sc)
+    params = {f"weights{i}": r.take(f"weights{i}") for i in range(1, 5)}
+    jsc = ops.SpectralConv3d(4, 8, 2, 3, 2)
+    x = torch.randn(2, 4, 6, 8, 8)
+    with torch.no_grad():
+        yt = sc(x)
+    yj = jsc.apply({"params": jax.tree.map(jnp.asarray, params)},
+                   jnp.asarray(_to_cl(x, 3)))
+    np.testing.assert_allclose(np.array(yj), _to_cl(yt, 3), atol=1e-5)
+
+
+def _conv_nd(r, prefix, nd):
+    """torch ConvNd weight [O, I, *K] -> channels-last [*K, I, O]."""
+    w = r.take(prefix + ".weight")
+    perm = tuple(range(2, 2 + nd)) + (1, 0)
+    return {"kernel": np.transpose(w, perm), "bias": r.take(prefix + ".bias")}
+
+
+@pytest.mark.parametrize("nd,pad", [(1, "circular"), (1, "zeros"), (3, "zeros")])
+def test_residual_block_1d_3d_parity(nd, pad):
+    torch.manual_seed(0)
+    rb = REF.basics.ResidualBlock(32, 64, nd, padding_mode=pad).eval()
+    r = reader(rb)
+    params = {
+        "gn1": tc._norm(r, "block.0.gn"),
+        "conv1": _conv_nd(r, "block.2", nd),
+        "gn2": tc._norm(r, "block.3.gn"),
+        "conv2": _conv_nd(r, "block.5", nd),
+        # 1x1 ConvNd weight [O, I, 1*nd] -> plain (I, O) matrix
+        "channel_up": {"kernel": r.take("channel_up.weight").reshape(64, 32).T,
+                       "bias": r.take("channel_up.bias")},
+    }
+    jrb = ops.ResidualBlock(32, 64, nd, padding_mode=pad)
+    shape = {1: (2, 32, 16), 3: (2, 32, 6, 6, 6)}[nd]
+    x = torch.randn(*shape)
+    with torch.no_grad():
+        yt = rb(x)
+    yj = jrb.apply({"params": jax.tree.map(jnp.asarray, params)},
+                   jnp.asarray(_to_cl(x, nd)))
+    np.testing.assert_allclose(np.array(yj), _to_cl(yt, nd), atol=1e-5)
