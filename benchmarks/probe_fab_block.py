@@ -181,6 +181,64 @@ def blkD(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out + u
 
 
+def make_blkE(group: int):
+    """Head-GROUP chains (round-3, VERDICT item 1a): the middle ground
+    between blkD's g=1 per-head chains and blkA's g=8 blockdiag. Each
+    group of `group` heads shares one blockdiag row/col dot with
+    K = M = group*n (64/128 at 32x32 -> MXU tiles no longer starved), while
+    tensors stay 4D ([b, g*h, w*d] per group — the 8x-inflated 5D head-major
+    tensor never exists). Group assembly uses per-head reshapes + concat
+    (the concat write is the price; measure whether the fatter dots pay
+    for it)."""
+
+    def blkE(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+        from lns_tpu.ops.factorized_attention import _blockdiag
+
+        b, h, w, c = u.shape
+        cc, n, d = w_in.shape
+        g = group
+        assert n % g == 0
+        acc = None
+        for g0 in range(0, n, g):
+            heads = list(range(g0, g0 + g))
+            # in_proj per head -> [b, h, w*d] slabs -> concat to [b, g*h, w*d]
+            phis = [
+                jnp.einsum("bhwc,cd->bhwd", u, w_in[:, hd]).reshape(b, h, w * d)
+                for hd in heads
+            ]
+            x = jnp.concatenate(phis, axis=1)  # [b, g*h, w*d]
+            kxb = _blockdiag(kx[:, g0 : g0 + g], g)[:, 0]  # [b, g*h, g*h]
+            x = jnp.einsum("bxy,byz->bxz", kxb, x)
+            # per-head transpose h<->w, then col group dot
+            cols = []
+            for j in range(g):
+                xs = x[:, j * h : (j + 1) * h].reshape(b, h, w, d)
+                cols.append(xs.transpose(0, 2, 1, 3).reshape(b, w, h * d))
+            x = jnp.concatenate(cols, axis=1)  # [b, g*w, h*d]
+            kyb = _blockdiag(ky[:, g0 : g0 + g], g)[:, 0]  # [b, g*w, g*w]
+            x = jnp.einsum("bxy,byz->bxz", kyb, x)
+            # per-head folded-IN out projection, accumulate
+            for j, hd in enumerate(heads):
+                xs = x[:, j * w : (j + 1) * w].reshape(b, w, h, d)
+                xf = xs.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=(1, 2))
+                sq = jnp.mean(jnp.square(xf), axis=(1, 2))
+                var = jnp.maximum(sq - jnp.square(mean), 0.0)
+                inv = jax.lax.rsqrt(var + eps)
+                w1f = w_o1[hd].astype(jnp.float32)
+                wp = (inv[:, :, None] * w1f[None]).astype(xs.dtype)
+                bias = ((mean * inv) @ w1f).astype(xs.dtype)
+                t = jnp.einsum("bwhd,bdo->bwho", xs, wp) - bias[:, None, None, :]
+                acc = t if acc is None else acc + t
+        out = gelu(acc)
+        out = jnp.einsum("bwho,oc->bwhc", out, w_o2)
+        out = out.transpose(0, 2, 1, 3)
+        return out + u
+
+    blkE.__name__ = f"blkE{group}"
+    return blkE
+
+
 def timed(fn, args, n=20):
     chained = jax.jit(
         lambda a, k: jax.lax.fori_loop(
@@ -216,7 +274,8 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16):
     import os as _os
 
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
-    _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD}
+    _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
+            "blkE2": make_blkE(2), "blkE4": make_blkE(4)}
     for name, fn in [(v, _all[v]) for v in _variants]:
         t0c = time.time()
         out = np.asarray(jax.jit(fn)(*args), np.float32)
@@ -227,8 +286,11 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16):
 
 
 if __name__ == "__main__":
+    import os as _os
+
     log(f"devices: {jax.devices()}")
-    bench(928, 32, 32, 64, 8, 64)   # NS2d FAB@32
-    bench(928, 16, 16, 128, 8, 64)  # NS2d FAB@16
-    bench(336, 48, 96, 64, 8, 64)   # SW FAB@48x96
-    bench(336, 24, 48, 128, 8, 64)  # SW FAB@24x48
+    shapes = _os.environ.get(
+        "FAB_SHAPES", "928,32,32,64;928,16,16,128;336,48,96,64;336,24,48,128")
+    for spec in shapes.split(";"):
+        b, h, w, c = (int(v) for v in spec.split(","))
+        bench(b, h, w, c, 8, 64)
