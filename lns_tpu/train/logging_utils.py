@@ -51,13 +51,24 @@ def prepare_training(log_dir: str, overwrite_exist: bool, config_path: Optional[
 
 
 class MetricLogger:
-    """stdout + JSONL (+ wandb when available) scalar logger."""
+    """stdout + JSONL (+ wandb when available) scalar logger.
+
+    Device scalars (0-d jax Arrays) are logged WITHOUT forcing a host
+    fetch: they are buffered and materialized in one stacked device->host
+    transfer at flush points (every `flush_every` records, at any
+    non-deferred log, and at finish()). On this stack a host fetch costs a
+    ~30 ms tunnel round-trip, so fetching the loss every train step would
+    dominate the step time; deferral keeps the train loop dispatch-only.
+    When wandb is active, values are fetched eagerly (wandb needs them).
+    """
 
     def __init__(self, log_dir: str, project: Optional[str] = None, config: Optional[dict] = None,
-                 use_wandb: bool = True):
+                 use_wandb: bool = True, flush_every: int = 512):
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
         self._step = 0
+        self._pending = []  # [(rec, [(key, 0d-jax-array), ...]), ...]
+        self._flush_every = flush_every
         self.wandb = None
         if use_wandb:
             try:
@@ -68,12 +79,46 @@ class MetricLogger:
             except Exception:
                 self.wandb = None
 
+    @staticmethod
+    def _is_device_scalar(v):
+        try:
+            import jax
+
+            return isinstance(v, jax.Array) and v.ndim == 0
+        except Exception:
+            return False
+
+    def _flush_pending(self):
+        if not self._pending:
+            return
+        import jax.numpy as jnp
+
+        arrays = [a for _, dev in self._pending for _, a in dev]
+        vals = iter(np.asarray(jnp.stack(arrays)))  # ONE host fetch
+        for rec, dev in self._pending:
+            for key, _ in dev:
+                rec[key] = float(next(vals))
+            self._f.write(json.dumps(rec) + "\n")
+        self._pending = []
+        self._f.flush()
+
     def log(self, metrics: dict, step: Optional[int] = None, echo: bool = False):
         step = self._step if step is None else step
         self._step = step + 1
         rec = {"step": step, "time": time.time()}
-        rec.update({k: (float(v) if np.isscalar(v) or hasattr(v, "item") else v)
-                    for k, v in metrics.items()})
+        defer = self.wandb is None and not echo
+        dev = []
+        for k, v in metrics.items():
+            if defer and self._is_device_scalar(v):
+                dev.append((k, v))
+            else:
+                rec[k] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
+        if dev:
+            self._pending.append((rec, dev))
+            if len(self._pending) >= self._flush_every:
+                self._flush_pending()
+            return
+        self._flush_pending()  # keep the JSONL in chronological order
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if echo:
@@ -96,6 +141,7 @@ class MetricLogger:
                 pass
 
     def finish(self):
+        self._flush_pending()
         self._f.close()
         if self.wandb is not None:
             try:
