@@ -239,8 +239,45 @@ def make_blkE(group: int):
     return blkE
 
 
-def timed(fn, args, n=20):
-    chained = jax.jit(
+def blkF(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """Gram-statistics c-space chains (round 3): the axial kernels apply to
+    u in CHANNEL space (the in_proj is linear, so it commutes past the
+    kernels); the instance-norm statistics of phi = B @ Win are recovered
+    exactly from B's augmented Gram matrix (mean_d = mean_c @ Win;
+    E[phi_d^2] = Win^T (Gram/N) Win), so the d-space tensor NEVER
+    materializes and — crucially — every operation touching a full-size
+    tensor is a dot_general: no elementwise/reduce op ever drags XLA's
+    layout assignment into batch-minor bouncing."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    N = h * w
+    ones3 = jnp.ones((b, w, h), u.dtype)
+    acc = None
+    for hd in range(n):
+        A = jnp.einsum("bih,bhwc->biwc", kx[:, hd], u)        # row apply
+        B = jnp.einsum("blw,biwc->blic", ky[:, hd], A)        # col apply
+        # stats as dots: Gram over (l, i) + sums over (l, i)
+        G = jnp.einsum("blic,blie->bce", B, B,
+                       preferred_element_type=jnp.float32)     # [b, c, c]
+        sums = jnp.einsum("blic,bli->bc", B, ones3,
+                          preferred_element_type=jnp.float32)  # [b, c]
+        Win = w_in[:, hd].astype(jnp.float32)                  # [c, d]
+        mean_d = (sums / N) @ Win                              # [b, d]
+        Ex2 = jnp.einsum("cd,bce,ed->bd", Win, G / N, Win)
+        var = jnp.maximum(Ex2 - jnp.square(mean_d), 0.0)
+        inv = jax.lax.rsqrt(var + eps)                         # [b, d]
+        w1f = w_o1[hd].astype(jnp.float32)                     # [d, o]
+        M = jnp.einsum("cd,bd,do->bco", Win, inv, w1f).astype(B.dtype)
+        bias = ((mean_d * inv) @ w1f).astype(B.dtype)          # [b, o]
+        t = jnp.einsum("blic,bco->blio", B, M) - bias[:, None, None, :]
+        acc = t if acc is None else acc + t
+    out = gelu(acc)                                            # [b, w, h, o]
+    out = jnp.einsum("bwho,oc->bwhc", out, w_o2)
+    return out.transpose(0, 2, 1, 3) + u
+
+
+def make_chained(fn):
+    return jax.jit(
         lambda a, k: jax.lax.fori_loop(
             0, k,
             lambda i, c: (c[0] + (1e-6 * jnp.sum(fn(*c))).astype(c[0].dtype),)
@@ -248,6 +285,10 @@ def timed(fn, args, n=20):
             a,
         )[0][0, 0, 0, 0]
     )
+
+
+def timed(fn, args, n=20):
+    chained = make_chained(fn)
     np.asarray(chained(args, 1))
     best = float("inf")
     for _ in range(3):
@@ -260,7 +301,7 @@ def timed(fn, args, n=20):
     return best
 
 
-def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16):
+def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     ks = jax.random.split(jax.random.key(0), 6)
     u = jax.random.normal(ks[0], (b, h, w, c)).astype(dtype)
     kx = (jax.random.normal(ks[1], (b, heads, h, h)) / h).astype(dtype)
@@ -269,13 +310,21 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16):
     w_o1 = (jax.random.normal(ks[4], (heads, d, c)) / (heads * d) ** 0.5).astype(dtype)
     w_o2 = (jax.random.normal(ks[5], (c, c)) / c**0.5).astype(dtype)
     args = (u, kx, ky, w_in, w_o1, w_o2)
-    ref = np.asarray(jax.jit(blkA)(*args), np.float32)
     res = [f"[{b},{h},{w},c{c},n{heads},d{d}]"]
     import os as _os
 
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
-            "blkE2": make_blkE(2), "blkE4": make_blkE(4)}
+            "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF}
+    if aot_only:
+        # populate the persistent compile cache without touching the device
+        for name in _variants:
+            t0c = time.time()
+            jax.jit(_all[name]).lower(*args).compile()
+            make_chained(_all[name]).lower(args, 1).compile()
+            log(f"AOT {name} @[{b},{h},{w}]: {time.time()-t0c:.0f}s")
+        return
+    ref = np.asarray(jax.jit(blkA)(*args), np.float32)
     for name, fn in [(v, _all[v]) for v in _variants]:
         t0c = time.time()
         out = np.asarray(jax.jit(fn)(*args), np.float32)

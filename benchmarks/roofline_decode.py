@@ -157,13 +157,16 @@ def ledger(fn, args, label, top=20):
         flops_by_instr[iname] = flops_by_instr.get(iname, 0) + fl
 
     # map fused computation name -> entry instruction via 'calls=' attr
-    calls_re = re.compile(r"(?:calls|to_apply)=%?([\w.\-]+)")
+    # NOTE on FLOPs: XLA lowers many batched dots to dilated-convolution
+    # encodings whose per-op FLOPs can't be read off the instruction text,
+    # so the per-op ledger charges BYTES only (every operand/output byte
+    # must cross HBM), and the MXU term uses the compiler's own
+    # cost_analysis() total. T_min = max(sum bytes / BW, total_flops /
+    # PEAK) — a valid lower bound for the compiled graph under perfect
+    # overlap of memory and MXU.
     rows = []
-    t_min = 0.0
     total_bytes = 0
-    total_flops = 0
-    hlo_lines = {l.split("=", 1)[0].strip().lstrip("ROOT %"): l
-                 for l in hlo.splitlines() if "=" in l}
+    copy_bytes = 0
     for name, opcode, shape_str, operands in entry_ops:
         if opcode in ("parameter", "constant", "get-tuple-element", "tuple",
                       "bitcast"):
@@ -172,31 +175,26 @@ def ledger(fn, args, label, top=20):
         for op in operands:
             if op in name2shape:
                 b += shape_bytes(name2shape[op])
-        fl = flops_by_instr.get(name, 0)  # direct dot/conv in entry
-        line = hlo_lines.get(name, "")
-        cm = calls_re.search(line)
-        if cm and cm.group(1) in flops_by_comp:
-            fl += flops_by_comp[cm.group(1)]
-        t_bw = b / BW_EFF
-        t_mx = fl / PEAK_BF16
-        t = max(t_bw, t_mx)
-        t_min += t
         total_bytes += b
-        total_flops += fl
+        if opcode in ("copy", "transpose"):
+            copy_bytes += b
         rows.append({"op": name[:60], "opcode": opcode, "bytes": b,
-                     "flops": fl, "t_us": round(t * 1e6, 1),
-                     "bound": "bw" if t_bw >= t_mx else "mxu"})
+                     "t_us": round(b / BW_EFF * 1e6, 1)})
     rows.sort(key=lambda r: -r["t_us"])
     try:
         ca = compiled.cost_analysis()
         ca_flops = ca.get("flops") if isinstance(ca, dict) else None
     except Exception:
         ca_flops = None
+    t_bw = total_bytes / BW_EFF
+    t_mx = (ca_flops or 0) / PEAK_BF16
     out = {
         "label": label,
-        "t_min_ms": round(t_min * 1e3, 2),
+        "t_min_ms": round(max(t_bw, t_mx) * 1e3, 2),
+        "t_bw_ms": round(t_bw * 1e3, 2),
+        "t_mxu_ms": round(t_mx * 1e3, 2),
         "total_gb": round(total_bytes / 1e9, 3),
-        "total_gflops": round(total_flops / 1e9, 1),
+        "copy_transpose_gb": round(copy_bytes / 1e9, 3),
         "cost_analysis_gflops": round(ca_flops / 1e9, 1) if ca_flops else None,
         "bw_eff_gbps": BW_EFF / 1e9,
         "peak_tflops": PEAK_BF16 / 1e12,
@@ -229,6 +227,30 @@ def build_rollout(batch=32, steps=29):
     return (lambda p, x: model.predict(p, x, steps=steps, to_x=True)), (params, x)
 
 
+def build_sw_decode(batch=336):
+    """SW decoder at the rollout bench shape (batch 8 x 42 steps)."""
+    from benchmarks.run_benchmarks import sw_cfg
+    from lns_tpu.models import LatentDynamics
+
+    cfg = sw_cfg()
+    model = LatentDynamics(cfg, dtype=jnp.bfloat16, ae_dtype=jnp.bfloat16)
+    x = jnp.zeros((8, 96, 192, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x.shape)["params"]
+    z = jnp.zeros((batch, 12, 24, 64), jnp.bfloat16)
+    return (lambda p, z: model.decode(p, z)), (params, z)
+
+
+def build_sw_rollout(batch=8, steps=42):
+    from benchmarks.run_benchmarks import sw_cfg
+    from lns_tpu.models import LatentDynamics
+
+    cfg = sw_cfg()
+    model = LatentDynamics(cfg, dtype=jnp.bfloat16, ae_dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 96, 192, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x.shape)["params"]
+    return (lambda p, x: model.predict(p, x, steps=steps, to_x=True)), (params, x)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="decode,rollout")
@@ -237,14 +259,15 @@ def main():
 
     results = {}
     for what in args.what.split(","):
-        fn, fargs = {"decode": build_decode, "rollout": build_rollout}[what]()
+        fn, fargs = {"decode": build_decode, "rollout": build_rollout,
+                     "sw_decode": build_sw_decode,
+                     "sw_rollout": build_sw_rollout}[what]()
         res = ledger(fn, fargs, what)
         results[what] = res
         print(json.dumps({k: v for k, v in res.items() if k != "top_ops"},
                          indent=2), flush=True)
         for r in res["top_ops"][:12]:
-            print(f"  {r['t_us']:>8.1f} us  {r['bound']:>3}  "
-                  f"{r['bytes']/2**20:8.1f} MiB {r['flops']/1e9:8.2f} GF  "
+            print(f"  {r['t_us']:>8.1f} us  {r['bytes']/2**20:8.1f} MiB  "
                   f"{r['opcode']:12} {r['op']}", flush=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
