@@ -183,6 +183,14 @@ def _per_head_min_hw() -> int:
     return int(os.environ.get("LNS_TPU_FAB_PER_HEAD_MIN_HW", "1025"))
 
 
+def _fab_impl() -> str:
+    """Formulation selector: 'auto' (shape dispatch, default), 'headmajor',
+    'perhead', or 'gram' (Gram-statistics c-space chains)."""
+    import os
+
+    return os.environ.get("LNS_TPU_FAB_IMPL", "auto")
+
+
 class FABlock2D(nn.Module):
     """Factorized attention block on NHWC fields (reference:
     factorized_attention.py:97-160).
@@ -235,7 +243,12 @@ class FABlock2D(nn.Module):
         k_y = k_y.astype(u.dtype)
 
         h, w = u.shape[1], u.shape[2]
-        if h * w >= _per_head_min_hw():
+        impl = _fab_impl()
+        if impl == "auto":
+            impl = "perhead" if h * w >= _per_head_min_hw() else "headmajor"
+        if impl == "gram":
+            out = self._gram_core(u, k_x, k_y, w_in, w_o1)
+        elif impl == "perhead":
             # Per-head chains (measured fastest at spatial sizes > 32x32;
             # DESIGN.md "Factorized attention" item 4): the 8x-inflated 5D
             # head-major tensor never exists. Each head's value tensor is a
@@ -284,6 +297,44 @@ class FABlock2D(nn.Module):
             wp = (inv[:, :, None] * w1f[None]).astype(x.dtype)
             bias = ((mean * inv) @ w1f).astype(x.dtype)        # [b, o]
             t = jnp.einsum("blid,bdo->blio", x, wp) - bias[:, None, None, :]
+            acc = t if acc is None else acc + t
+        # [b, w, h, o] -> [b, h, w, o]
+        return acc.transpose(0, 2, 1, 3)
+
+    @staticmethod
+    def _gram_core(u, k_x, k_y, w_in, w_o1, eps: float = 1e-5):
+        """Gram-statistics c-space chains (round 3): the axial kernels are
+        applied to u in CHANNEL space (the in_proj is linear so it commutes
+        past the kernels), and the instance-norm statistics of
+        phi = B @ W_in are recovered exactly from B's Gram matrix
+        (mean_d = mean_c @ W_in; E[phi_d^2] = W_in^T (G/N) W_in), so the
+        head-major d-space tensor never materializes and every op touching
+        a full-size tensor is a dot_general — XLA's layout assignment has
+        no elementwise/reduce consumer to bounce layouts against (the
+        copies that formulation cost 16 ms/decode, DESIGN.md). Exact vs
+        the two-pass form to ~1e-7 in f32 (stats always accumulate f32
+        via preferred_element_type)."""
+        b, h, w, c = u.shape
+        heads = k_x.shape[1]
+        n_px = h * w
+        ones3 = jnp.ones((b, w, h), u.dtype)
+        acc = None
+        for hd in range(heads):
+            a = jnp.einsum("bih,bhwc->biwc", k_x[:, hd], u)
+            bb = jnp.einsum("blw,biwc->blic", k_y[:, hd], a)
+            g = jnp.einsum("blic,blie->bce", bb, bb,
+                           preferred_element_type=jnp.float32)
+            sums = jnp.einsum("blic,bli->bc", bb, ones3,
+                              preferred_element_type=jnp.float32)
+            win = w_in[:, hd].astype(jnp.float32)        # [c, d]
+            mean = (sums / n_px) @ win                   # [b, d]
+            ex2 = jnp.einsum("cd,bce,ed->bd", win, g / n_px, win)
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            inv = jax.lax.rsqrt(var + eps)               # [b, d]
+            w1f = w_o1[hd].astype(jnp.float32)           # [d, o]
+            m = jnp.einsum("cd,bd,do->bco", win, inv, w1f).astype(bb.dtype)
+            bias = ((mean * inv) @ w1f).astype(bb.dtype)
+            t = jnp.einsum("blic,bco->blio", bb, m) - bias[:, None, None, :]
             acc = t if acc is None else acc + t
         # [b, w, h, o] -> [b, h, w, o]
         return acc.transpose(0, 2, 1, 3)
