@@ -276,6 +276,53 @@ def blkF(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out.transpose(0, 2, 1, 3) + u
 
 
+def blkQ(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """int8 axial applies (VERDICT round 2, lever 1c): the value tensor and
+    kernels are symmetric-quantized per head so both axial dots run
+    int8 x int8 -> int32 on the MXU and the big tensor crosses HBM at half
+    the bf16 width. Stats/out-proj identical to blkD (f32). Instance norm
+    right after the applies makes per-head scale factors irrelevant, so
+    the only accuracy cost is rounding (expect ~1e-2 rel err)."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+
+    def q8(x, axes):
+        s = jnp.max(jnp.abs(x), axis=axes, keepdims=True).astype(jnp.float32) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        xi = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+        return xi.astype(jnp.int8), s
+
+    acc = None
+    for hd in range(n):
+        phi = jnp.einsum("bhwc,cd->bhwd", u, w_in[:, hd])
+        phi_q, s_phi = q8(phi, (1, 2, 3))                      # [b,1,1,1]
+        kx_q, s_kx = q8(kx[:, hd], (1, 2))                     # [b,1,1]
+        x32 = jnp.einsum("bih,bhwd->biwd", kx_q, phi_q,
+                         preferred_element_type=jnp.int32)
+        # requantize the row output to int8 for the col dot
+        x_q, s_x = q8(x32, (1, 2, 3))
+        ky_q, s_ky = q8(ky[:, hd], (1, 2))
+        y32 = jnp.einsum("blw,bwid->blid", ky_q,
+                         x_q.transpose(0, 2, 1, 3),
+                         preferred_element_type=jnp.int32)
+        scale = (s_phi.reshape(b, 1, 1, 1) * s_kx.reshape(b, 1, 1, 1)
+                 * s_x.reshape(b, 1, 1, 1) * s_ky.reshape(b, 1, 1, 1))
+        x = y32.astype(jnp.float32) * scale
+        mean = jnp.mean(x, axis=(1, 2))
+        var = jnp.maximum(jnp.mean(jnp.square(x), axis=(1, 2))
+                          - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        w1f = w_o1[hd].astype(jnp.float32)
+        wp = (inv[:, :, None] * w1f[None]).astype(u.dtype)
+        bias = ((mean * inv) @ w1f).astype(u.dtype)
+        t = jnp.einsum("blid,bdo->blio", x.astype(u.dtype), wp) \
+            - bias[:, None, None, :]
+        acc = t if acc is None else acc + t
+    out = gelu(acc)
+    out = jnp.einsum("bwho,oc->bwhc", out, w_o2)
+    return out.transpose(0, 2, 1, 3) + u
+
+
 def make_chained(fn):
     return jax.jit(
         lambda a, k: jax.lax.fori_loop(
@@ -315,7 +362,8 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
 
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
-            "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF}
+            "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
+            "blkQ": blkQ}
     if aot_only:
         # populate the persistent compile cache without touching the device
         for name in _variants:
