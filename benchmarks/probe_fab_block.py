@@ -276,6 +276,68 @@ def blkF(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out.transpose(0, 2, 1, 3) + u
 
 
+def blkG(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """Batched per-head chains in fully NATIVE dot_general orders (round 3):
+    like blkD the 8x head-major tensor is only ever touched by dots, but the
+    heads run as dot batch dims instead of a Python loop, so (a) there are 4
+    big kernels instead of ~40 small ones, and (b) the per-head outputs are
+    summed INSIDE the final (n, d)-contraction — blkD's 8 accumulate passes
+    never exist. Every einsum below is one dot_general whose output dim
+    order is exactly (batch, lhs free, rhs free) = what XLA produces
+    natively, and every intermediate keeps d=64 minor (the layout class the
+    decoder's NHWC convs already use) — no transpose, no blockdiag, no
+    elementwise op on a big tensor (IN folded into the out projection)."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    phi = jnp.einsum("bhwc,cnd->bhwnd", u, w_in)       # native: free (n,d) last
+    x = jnp.einsum("bnih,bhwnd->bniwd", kx, phi)       # row; batch (b,n)
+    x = jnp.einsum("bnlw,bniwd->bnlid", ky, x)         # col; batch (b,n)
+    # read-only single-co-pass IN stats per (b, n, d) over (l, i)
+    mean = jnp.mean(x, axis=(2, 3), dtype=jnp.float32)           # [b, n, d]
+    sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(2, 3))
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                               # [b, n, d]
+    w1f = w_o1.astype(jnp.float32)                               # [n, d, o]
+    wp = (inv[..., None] * w1f[None]).astype(x.dtype)            # [b, n, d, o]
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(x.dtype)
+    # joint head-sum out projection: contract (n, d) in ONE dot
+    out = jnp.einsum("bnlid,bndo->blio", x, wp) - bias[:, None, None, :]
+    out = gelu(out)                                              # [b, w, h, o]
+    out = jnp.einsum("blio,oc->blic", out, w_o2)
+    return out.transpose(0, 2, 1, 3) + u
+
+
+def blkH(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkG with the IN statistics ALSO computed as dots (round 3): mean
+    via a ones-vector contraction, E[x^2] via the d-space Gram diagonal
+    (einsum 'bnlid,bnlie->bnde' — full d x e Gram, 31 GFLOP at bench
+    shape, trivially MXU work), so the big tensor has NO elementwise or
+    reduce consumer at all — dots only, like blkF, but without blkF's
+    8x re-read of u."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    N = h * w
+    phi = jnp.einsum("bhwc,cnd->bhwnd", u, w_in)       # native: free (n,d) last
+    x = jnp.einsum("bnih,bhwnd->bniwd", kx, phi)       # row; batch (b,n)
+    x = jnp.einsum("bnlw,bniwd->bnlid", ky, x)         # col; batch (b,n)
+    ones = jnp.ones((b, n, w, h), x.dtype)
+    sums = jnp.einsum("bnlid,bnli->bnd", x, ones,
+                      preferred_element_type=jnp.float32)        # [b, n, d]
+    gram = jnp.einsum("bnlid,bnlie->bnde", x, x,
+                      preferred_element_type=jnp.float32)        # [b, n, d, d]
+    mean = sums / N
+    ex2 = jnp.einsum("bndd->bnd", gram) / N            # Gram diagonal
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                               # [b, n, d]
+    w1f = w_o1.astype(jnp.float32)                               # [n, d, o]
+    wp = (inv[..., None] * w1f[None]).astype(x.dtype)            # [b, n, d, o]
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(x.dtype)
+    out = jnp.einsum("bnlid,bndo->blio", x, wp) - bias[:, None, None, :]
+    out = gelu(out)                                              # [b, w, h, o]
+    out = jnp.einsum("blio,oc->blic", out, w_o2)
+    return out.transpose(0, 2, 1, 3) + u
+
+
 def blkQ(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     """int8 axial applies (VERDICT round 2, lever 1c): the value tensor and
     kernels are symmetric-quantized per head so both axial dots run
@@ -363,7 +425,7 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
             "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
-            "blkQ": blkQ}
+            "blkG": blkG, "blkH": blkH, "blkQ": blkQ}
     if aot_only:
         # populate the persistent compile cache without touching the device
         for name in _variants:

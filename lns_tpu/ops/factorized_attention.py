@@ -6,13 +6,15 @@ axis descriptors (no softmax — a low-rank kernel a la the factorized
 transformer), then applies them sequentially as batched matmuls:
 O(h^2 + w^2) instead of O((hw)^2).
 
-TPU mapping: the value tensor u_phi runs HEAD-MAJOR [b, heads, H, W, d]
-through the whole block — the channel->head-major relayout is folded into
-the in/out projection matmuls (einsum output layouts), the per-head axial
-matmuls are packed block-diagonally into full 128-wide MXU contractions,
-and instance-norm statistics are computed directly on the head-major
-layout. This removes every standalone GB-scale transpose the naive einsum
-formulation emits (profiled: those copies dominated decode time).
+TPU mapping (round-3 default, `_batched_core`): the 8x-inflated value
+tensor is only ever touched by dot_generals in their NATIVE output dim
+order (batch dims, lhs free, rhs free) with the head axis as a dot batch
+dim — zero transposes, zero layout-assignment copies — and the instance
+norm is folded into per-batch out-projection weights so no elementwise op
+touches a full-size tensor. Earlier formulations (head-major blockdiag
+MXU packing, per-head chains, Gram-statistics c-space) are kept
+selectable via LNS_TPU_FAB_IMPL; the probe shootout lives in
+benchmarks/probe_fab_block.py and the measured table in _fab_impl_for.
 """
 
 from __future__ import annotations
@@ -173,22 +175,28 @@ def instance_norm_headmajor(phi, eps: float = 1e-5):
     return (phi - mean.astype(phi.dtype)) * inv.astype(phi.dtype)
 
 
-def _per_head_min_hw() -> int:
-    """Spatial-size threshold (h*w) at which FABlock2D switches from the
-    head-major blockdiag formulation to per-head chains. 1025 = strictly
-    above 32x32, where the two formulations measured a tie (DESIGN.md).
-    Env-tunable for benchmarking shape-dispatch variants."""
+def _fab_impl_for(hw: int) -> str:
+    """Formulation selector (round-3 measurement campaign,
+    benchmarks/probe_fab_block.py at the decode bench shapes, bf16, ms for
+    one block):
+
+      h*w            headmajor  perhead   gram    batched
+      16x16  =  256     8.02      5.41     6.18   **3.65**
+      32x32  = 1024    28.51     31.44    28.69  **24.61**
+      24x48  = 1152       —       8.70     8.19   **5.50**
+      48x96  = 4608       —      37.72    31.65  **30.52**
+
+    `batched` (native-dot-order batched per-head chains, no transposes, no
+    blockdiag, IN folded into the out projection, heads summed inside the
+    final contraction) won at every measured shape and is the default
+    everywhere. The other formulations are kept selectable via
+    LNS_TPU_FAB_IMPL for benchmarking and cross-validation."""
     import os
 
-    return int(os.environ.get("LNS_TPU_FAB_PER_HEAD_MIN_HW", "1025"))
-
-
-def _fab_impl() -> str:
-    """Formulation selector: 'auto' (shape dispatch, default), 'headmajor',
-    'perhead', or 'gram' (Gram-statistics c-space chains)."""
-    import os
-
-    return os.environ.get("LNS_TPU_FAB_IMPL", "auto")
+    forced = os.environ.get("LNS_TPU_FAB_IMPL", "auto")
+    if forced != "auto":
+        return forced
+    return "batched"
 
 
 class FABlock2D(nn.Module):
@@ -243,13 +251,13 @@ class FABlock2D(nn.Module):
         k_y = k_y.astype(u.dtype)
 
         h, w = u.shape[1], u.shape[2]
-        impl = _fab_impl()
-        if impl == "auto":
-            impl = "perhead" if h * w >= _per_head_min_hw() else "headmajor"
-        if impl == "gram":
+        impl = _fab_impl_for(h * w)
+        if impl == "batched":
+            out = self._batched_core(u, k_x, k_y, w_in, w_o1)
+        elif impl == "gram":
             out = self._gram_core(u, k_x, k_y, w_in, w_o1)
         elif impl == "perhead":
-            # Per-head chains (measured fastest at spatial sizes > 32x32;
+            # Per-head chains (measured fastest at 16x16-class sizes;
             # DESIGN.md "Factorized attention" item 4): the 8x-inflated 5D
             # head-major tensor never exists. Each head's value tensor is a
             # [b, h, w, d] NHWC-class array — the shape family XLA lays out
@@ -271,6 +279,42 @@ class FABlock2D(nn.Module):
         out = gelu(out)
         out = Conv1x1(self.dim_out, use_bias=False, name="out_fc2")(out)
         return out + u_skip
+
+    @staticmethod
+    def _batched_core(u, k_x, k_y, w_in, w_o1, eps: float = 1e-5):
+        """Batched per-head chains in fully NATIVE dot_general orders
+        (round 3; probe blkG — fastest measured formulation at every
+        decode shape). The 8x head-major value tensor is only ever touched
+        by dot_generals: every einsum below has output dim order exactly
+        (batch dims, lhs free, rhs free) — what dot_general produces
+        natively, so XLA emits zero transposes — and every intermediate
+        keeps d minor (the layout class the decoder's NHWC convs use).
+        Heads run as dot batch dims (4 big kernels instead of ~40 per-head
+        ones) and the per-head outputs are summed INSIDE the final (n, d)
+        contraction, so per-head accumulate passes never exist. The
+        instance norm is folded into per-batch out-projection weights
+        (wp = inv * W, bias = mean * inv @ W); its statistics are a
+        read-only single-co-pass reduce with f32 accumulation."""
+        b, h, w, c = u.shape
+        heads = k_x.shape[1]
+        # in_proj, native order: free dims (n, d) land last
+        phi = jnp.einsum("bhwc,cnd->bhwnd", u, w_in)
+        # row apply; batch (b, n), contract h
+        x = jnp.einsum("bnih,bhwnd->bniwd", k_x, phi)
+        # col apply; batch (b, n), contract w
+        x = jnp.einsum("bnlw,bniwd->bnlid", k_y, x)
+        # read-only IN stats per (b, n, d) over spatial (l, i)
+        mean = jnp.mean(x, axis=(2, 3), dtype=jnp.float32)       # [b, n, d]
+        sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(2, 3))
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)                           # [b, n, d]
+        w1f = w_o1.astype(jnp.float32)                           # [n, d, o]
+        wp = (inv[..., None] * w1f[None]).astype(x.dtype)        # [b, n, d, o]
+        bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(x.dtype)
+        # joint head-sum out projection: contract (n, d) in ONE dot
+        out = jnp.einsum("bnlid,bndo->blio", x, wp) - bias[:, None, None, :]
+        # [b, w, h, o] -> [b, h, w, o] (small tensor; fuses downstream)
+        return out.transpose(0, 2, 1, 3)
 
     @staticmethod
     def _per_head_core(u, k_x, k_y, w_in, w_o1):

@@ -104,3 +104,24 @@ def test_fablock_perhead_path_matches_headmajor_math():
         {"params": params["out_fc2"]}, ref)
     ref = ref + x
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("impl", ["perhead", "gram", "batched"])
+@pytest.mark.parametrize("hw", [(16, 16), (40, 28)])
+def test_fablock_impl_equivalence(impl, hw, monkeypatch):
+    """Every FABlock2D formulation (round-3 shape dispatch: perhead at
+    16x16-class sizes, head-major at 32x32-class, gram above) must produce
+    the same output for the same params as the head-major reference."""
+    import lns_tpu.ops as ops
+
+    h, w = hw
+    c, heads, d = 16, 4, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, c))
+    fab = ops.FABlock2D(c, d, d, heads, c)
+    p = fab.init(jax.random.PRNGKey(1), x)
+
+    monkeypatch.setenv("LNS_TPU_FAB_IMPL", "headmajor")
+    ref = fab.apply(p, x)
+    monkeypatch.setenv("LNS_TPU_FAB_IMPL", impl)
+    out = fab.apply(p, x)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=3e-4)
