@@ -338,6 +338,34 @@ def blkH(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out.transpose(0, 2, 1, 3) + u
 
 
+def blkI(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkG with the in_proj lowered as a plain 2D GEMM (round 3, xplane
+    finding): upstream elementwise ops hand u over BATCH-MINOR
+    ({0,3,2,1}); blkG's 5D in_proj einsum inherits that layout and XLA
+    then relayouts the 8x-inflated phi with a full-tensor copy
+    (copy.277, 6.3 ms/rep) plus a transpose-fusion feed (fusion.284).
+    Reshaping u to [b*h*w, c] forces the layout bridge onto the SMALL
+    tensor (0.12 GB vs 0.97 GB) and a 2D GEMM output is standard-major,
+    which the row dot can consume directly."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    u2 = u.reshape(b * h * w, c)
+    phi = (u2 @ w_in.reshape(c, n * d)).reshape(b, h, w, n, d)
+    x = jnp.einsum("bnih,bhwnd->bniwd", kx, phi)       # row; batch (b,n)
+    x = jnp.einsum("bnlw,bniwd->bnlid", ky, x)         # col; batch (b,n)
+    mean = jnp.mean(x, axis=(2, 3), dtype=jnp.float32)           # [b, n, d]
+    sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(2, 3))
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                               # [b, n, d]
+    w1f = w_o1.astype(jnp.float32)                               # [n, d, o]
+    wp = (inv[..., None] * w1f[None]).astype(x.dtype)            # [b, n, d, o]
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(x.dtype)
+    out = jnp.einsum("bnlid,bndo->blio", x, wp) - bias[:, None, None, :]
+    out = gelu(out)                                              # [b, w, h, o]
+    out = jnp.einsum("blio,oc->blic", out, w_o2)
+    return out.transpose(0, 2, 1, 3) + u
+
+
 def blkQ(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     """int8 axial applies (VERDICT round 2, lever 1c): the value tensor and
     kernels are symmetric-quantized per head so both axial dots run
@@ -425,7 +453,7 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
             "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
-            "blkG": blkG, "blkH": blkH, "blkQ": blkQ}
+            "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkQ": blkQ}
     if aot_only:
         # populate the persistent compile cache without touching the device
         for name in _variants:

@@ -109,7 +109,9 @@ def main():
                     y = run(z)
                 np.asarray(y[0, 0, 0, 0])
         else:
-            fn = {"blkA": pb.blkA, "blkB": pb.blkB, "blkC": pb.blkC, "blkD": pb.blkD}[args.what]
+            fn = {"blkA": pb.blkA, "blkB": pb.blkB, "blkC": pb.blkC,
+                  "blkD": pb.blkD, "blkF": pb.blkF, "blkG": pb.blkG,
+                  "blkH": pb.blkH}[args.what]
             jfn = jax.jit(fn)
             np.asarray(jfn(*fargs)[0, 0, 0, 0])
             with jax.profiler.trace(args.logdir):
