@@ -1,15 +1,15 @@
-"""XLA TPU layout/scheduler flag sweep over the FAB@32x32 core (VERDICT
-round 2 item 1b).
+"""XLA TPU flag sweep over the FAB core (VERDICT round 2 item 1b).
 
-The NS2d decode's remaining 16 ms is XLA layout-assignment copies around
-the factorized-attention dots; this sweeps the layout-related
-`--xla_tpu_*` flags surfaced by libtpu (flag names extracted from
-libtpu.so) against the blkA/blkD probe at the benchmark shape and records
-per-flag timings. Each setting forces a fresh (remote, ~minutes) compile —
-the sweep runs each config as a subprocess so XLA_FLAGS take effect.
+Round-3 finding: XLA_FLAGS cannot carry --xla_tpu_* options on this stack —
+compilation is REMOTE (axon tunnel) and the local jaxlib's flag parser
+aborts on TPU-only flag names before any request is sent. The working
+channel is PJRT `compiler_options` on the compile call, which the remote
+compile server validates (bogus names raise) and applies. This sweep
+compiles the probe formulation once per config with those options and
+times it with the chained difference protocol.
 
-    python benchmarks/probe_xla_flags.py [--shapes 928,32,32,64]
-        [--variants blkA,blkD] [--configs default,autotune_layouts,...]
+    python benchmarks/probe_xla_flags.py [--shape 928,32,32,64]
+        [--variant blkG] [--configs ...]
 
 Writes benchmarks/results_xla_flags.json.
 """
@@ -17,66 +17,91 @@ Writes benchmarks/results_xla_flags.json.
 import argparse
 import json
 import os
-import re
-import subprocess
 import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+import jax
+
+os.makedirs("/root/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
 
 CONFIGS = {
-    "default": "",
-    "autotune_layouts": "--xla_tpu_autotune_layouts=true",
-    "layout_negotiation": "--xla_tpu_allow_layout_negotiation=true",
-    "dot_after_layout": "--xla_tpu_order_dot_after_layout=true",
-    "dot_grouping": "--xla_tpu_layout_use_dot_grouping=true",
-    "aggressive_loop_fusion_layout": "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true",
-    "scoped_vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "autotune_dots_fusions": "--xla_tpu_autotune_dots=true --xla_tpu_autotune_fusions=true",
-    "copy_elision_10x": "--xla_tpu_copy_elision_analysis_allowance=300000",
+    "default": {},
+    "scoped_vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "scoped_vmem_96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "copy_elision_10x": {"xla_tpu_copy_elision_analysis_allowance": "300000"},
+    "licm": {"xla_tpu_enable_while_loop_invariant_code_motion": "true"},
+    "no_multilevel_fusion": {"xla_tpu_use_multilevel_fusion": "false"},
+    "no_bloat_fusion": {"xla_tpu_enable_bloat_fusion": "false"},
+    "async_copies_off": {"xla_tpu_enable_async_collective_fusion": "false"},
+    "dot_merger_off": {"xla_tpu_enable_dot_merger": "false"},
 }
 
 
-def run_config(name, flags, shapes, variants, timeout=2400):
-    env = dict(os.environ)
-    base = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (base + " " + flags).strip()
-    env["FAB_SHAPES"] = shapes
-    env["FAB_VARIANTS"] = variants
-    t0 = time.time()
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, "probe_fab_block.py")],
-            env=env, capture_output=True, text=True, timeout=timeout,
-        )
-    except subprocess.TimeoutExpired:
-        return {"error": "timeout"}
-    out = proc.stdout + proc.stderr
-    # parse "blkX   12.34 ms (err 1.2e-03, compile 45s)" lines
-    times = {}
-    for m in re.finditer(r"(blk\w+)\s+([0-9.]+) ms \(err ([0-9.e+-]+)", out):
-        times[m.group(1)] = {"ms": float(m.group(2)), "err": float(m.group(3))}
-    rec = {"flags": flags, "times": times,
-           "wall_s": round(time.time() - t0, 1)}
-    if proc.returncode != 0 and not times:
-        rec["error"] = out[-2000:]
-    return rec
+def timed(compiled, args, n=16):
+    """Chained difference protocol on a pre-compiled executable."""
+    def run():
+        return np.asarray(compiled(*args)[0, 0, 0, 0])
+
+    run()
+    best1 = bestn = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in range(1 + n):
+            out = compiled(*args)
+        np.asarray(out[0, 0, 0, 0])
+        bestn = min(bestn, time.perf_counter() - t0)
+    return (bestn - best1) / n
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--shapes", default="928,32,32,64")
-    p.add_argument("--variants", default="blkA,blkD")
-    p.add_argument("--configs", default=",".join(CONFIGS))
-    args = p.parse_args()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="928,32,32,64")
+    ap.add_argument("--variant", default="blkG")
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    args = ap.parse_args()
+
+    from benchmarks import probe_fab_block as pb
+
+    b, h, w, c = (int(v) for v in args.shape.split(","))
+    heads, d = 8, 64
+    ks = jax.random.split(jax.random.key(0), 6)
+    dt = jnp.bfloat16
+    u = jax.random.normal(ks[0], (b, h, w, c)).astype(dt)
+    kx = (jax.random.normal(ks[1], (b, heads, h, h)) / h).astype(dt)
+    ky = (jax.random.normal(ks[2], (b, heads, w, w)) / w).astype(dt)
+    w_in = (jax.random.normal(ks[3], (c, heads, d)) / c**0.5).astype(dt)
+    w_o1 = (jax.random.normal(ks[4], (heads, d, c)) / (heads * d) ** 0.5).astype(dt)
+    w_o2 = (jax.random.normal(ks[5], (c, c)) / c**0.5).astype(dt)
+    fargs = (u, kx, ky, w_in, w_o1, w_o2)
+
+    fn = getattr(pb, args.variant)
+    lowered = jax.jit(fn).lower(*fargs)
+    print(f"devices: {jax.devices()}", flush=True)
 
     results = {}
     for name in args.configs.split(","):
-        flags = CONFIGS[name]
-        print(f"=== {name}: {flags or '(baseline)'}", flush=True)
-        rec = run_config(name, flags, args.shapes, args.variants)
+        opts = CONFIGS[name]
+        t0 = time.time()
+        try:
+            compiled = lowered.compile(compiler_options=opts) if opts else lowered.compile()
+            t_ms = timed(compiled, fargs) * 1e3
+            rec = {"options": opts, "ms": round(t_ms, 2),
+                   "compile_s": round(time.time() - t0, 1)}
+        except Exception as e:  # unknown flag -> server-side reject
+            rec = {"options": opts, "error": repr(e)[:300]}
         results[name] = rec
-        print(json.dumps(rec), flush=True)
+        print(f"[{time.strftime('%H:%M:%S')}] {name}: "
+              f"{rec.get('ms', rec.get('error', '?'))}", flush=True)
         with open(os.path.join(HERE, "results_xla_flags.json"), "w") as f:
             json.dump(results, f, indent=2)
 

@@ -12,6 +12,7 @@ HalfPeriodicConv2d (modules/autoencoder2d_half_periodic.py:26-52).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -28,6 +29,72 @@ def _tuple(v, n):
         assert len(v) == n
         return tuple(v)
     return (v,) * n
+
+
+def _wrap_decompose_enabled(padding_mode: str) -> bool:
+    """Whether to lower a 3x3 stride-1 wrap-padded conv as zero-pad conv +
+    boundary strip corrections instead of materializing a wrap-padded
+    activation copy.
+
+    Measured (round 3, v5e): half-periodic decompose ('x'/'y': 2 strip
+    convs) wins — SW rollout 85.2 -> 76.1 ms. The fully-circular 'xy'
+    variant (4 strip convs + corner wrap concats) REGRESSES NS2d
+    52.8 -> 61.4 ms at 64x64 — the extra small ops cost more than the
+    saved pad copy. Default: half-periodic only.
+    LNS_TPU_CONV_WRAP_DECOMPOSE: 'hp' (default) | '0' (off) | 'full'.
+    """
+    v = os.environ.get("LNS_TPU_CONV_WRAP_DECOMPOSE", "hp")
+    if v == "0":
+        return False
+    if v == "full":
+        return True
+    return padding_mode != "circular"
+
+
+def _wrap_corrections_2d(x, kernel, y, mode):
+    """Add the wrapped-boundary contributions a both-axes zero-padded 3x3
+    stride-1 conv missed (round 3: wrap-padded convs previously
+    materialized a full padded copy of the activation — one extra HBM
+    pass per conv at decode scale; the strips below are 1/H (1/W) of the
+    conv's work and land via in-place dynamic-update-slice adds).
+
+    mode: 'x' (W wraps), 'y' (H wraps), 'xy' (both). Row strips use
+    kernel rows 0/2 and carry the full x-axis handling (circular for
+    'xy', zero for 'y'); column strips use kernel cols 0/2 with zero
+    y-handling — in 'xy' mode the corner cross-terms are covered exactly
+    once by the row strips (kernel row 0/2, every column).
+    """
+    H, W = x.shape[1], x.shape[2]
+    dn = _dim_numbers(2)
+    if mode in ("y", "xy"):
+        top_in = x[:, H - 1 : H]   # contributes to output row 0 via kernel row 0
+        bot_in = x[:, 0:1]         # contributes to output row H-1 via kernel row 2
+        if mode == "xy":
+            top_in = jnp.concatenate(
+                [top_in[:, :, W - 1 :], top_in, top_in[:, :, :1]], axis=2)
+            bot_in = jnp.concatenate(
+                [bot_in[:, :, W - 1 :], bot_in, bot_in[:, :, :1]], axis=2)
+            xpad = (0, 0)
+        else:
+            xpad = (1, 1)
+        ct = lax.conv_general_dilated(
+            top_in, kernel[0:1], (1, 1), [(0, 0), xpad], dimension_numbers=dn)
+        cb = lax.conv_general_dilated(
+            bot_in, kernel[2:3], (1, 1), [(0, 0), xpad], dimension_numbers=dn)
+        y = y.at[:, 0:1].add(ct.astype(y.dtype))
+        y = y.at[:, H - 1 : H].add(cb.astype(y.dtype))
+    if mode in ("x", "xy"):
+        left_in = x[:, :, W - 1 : W]   # -> output col 0 via kernel col 0
+        right_in = x[:, :, 0:1]        # -> output col W-1 via kernel col 2
+        cl = lax.conv_general_dilated(
+            left_in, kernel[:, 0:1], (1, 1), [(1, 1), (0, 0)],
+            dimension_numbers=dn)
+        cr = lax.conv_general_dilated(
+            right_in, kernel[:, 2:3], (1, 1), [(1, 1), (0, 0)],
+            dimension_numbers=dn)
+        y = y.at[:, :, 0:1].add(cl.astype(y.dtype))
+        y = y.at[:, :, W - 1 : W].add(cr.astype(y.dtype))
+    return y
 
 
 def _dim_numbers(num_spatial: int):
@@ -92,9 +159,24 @@ class ConvND(nn.Module):
         # full HBM pass per conv at decode scale. Only circular axes need
         # an explicit wrap-pad copy.
         conv_pads = [(0, 0)] * nd
+        decompose = None
         if any(p != (0, 0) for p in pads):
             if self.padding_mode == "zeros":
                 conv_pads = pads
+            elif (
+                self.padding_mode in ("circular", "half_periodic_x",
+                                      "half_periodic_y")
+                and nd == 2 and stride == (1, 1) and dil == (1, 1)
+                and ks == (3, 3) and list(pads) == [(1, 1), (1, 1)]
+                and x.shape[1] >= 3 and x.shape[2] >= 3
+                and _wrap_decompose_enabled(self.padding_mode)
+            ):
+                # 3x3 stride-1 wrap-padded convs: zero-pad conv + boundary
+                # strip corrections instead of materializing a wrap-padded
+                # activation copy (see _wrap_corrections_2d)
+                decompose = {"circular": "xy", "half_periodic_x": "x",
+                             "half_periodic_y": "y"}[self.padding_mode]
+                conv_pads = [(1, 1), (1, 1)]
             elif self.padding_mode == "circular":
                 x = pad_nd(x, pads, mode="circular")
             elif self.padding_mode in ("half_periodic_x", "half_periodic_y"):
@@ -126,6 +208,8 @@ class ConvND(nn.Module):
             dimension_numbers=dn,
         )
         out = out.astype(dtype)
+        if decompose is not None:
+            out = _wrap_corrections_2d(x, kernel, out, decompose)
         if bias is not None:
             out = out + bias.astype(dtype)
         return out
