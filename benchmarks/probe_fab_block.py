@@ -413,6 +413,50 @@ def blkQ(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out.transpose(0, 2, 1, 3) + u
 
 
+def make_blkJ(group: int):
+    """blkG with the ROW apply group-blockdiagonal (round 3, VERDICT lever
+    1a re-run on the native-order batched formulation): the row dot's
+    (b, head) batch elements are M=K=h MXU tiles (1/16 utilization at
+    h=32); packing `group` heads block-diagonally lifts M=K to group*h at
+    the cost of group x structural-zero FLOPs (still far below the BW
+    floor). Crucially the grouping is reshape-only on the SAME [b,n,h,w,d]
+    relayout blkG already pays: split n -> (G,g), merge (g,h) and (w,d) —
+    all adjacent-dim merges, no transpose, no concat (contrast blkE). The
+    col apply stays batched: grouping it would need (g,w) adjacent, i.e.
+    a second full relayout of the big tensor."""
+
+    def blkJ(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+        b, h, w, c = u.shape
+        cc, n, d = w_in.shape
+        g = group
+        G = n // g
+        phi = jnp.einsum("bhwc,cnd->bhwnd", u, w_in)
+        # the single relayout blkG's row dot forces, made explicit
+        phi = phi.transpose(0, 3, 1, 2, 4)               # [b, n, h, w, d]
+        phi_g = phi.reshape(b, G, g * h, w * d)
+        eye = jnp.eye(g, dtype=kx.dtype)
+        kxg = jnp.einsum("bGgih,ge->bGgieh",
+                         kx.reshape(b, G, g, h, h), eye)
+        kxg = kxg.reshape(b, G, g * h, g * h)            # block-diagonal
+        x = jnp.einsum("bGij,bGjm->bGim", kxg, phi_g)    # fat row dot
+        x = x.reshape(b, n, h, w, d)
+        x = jnp.einsum("bnlw,bniwd->bnlid", ky, x)       # col; batch (b,n)
+        mean = jnp.mean(x, axis=(2, 3), dtype=jnp.float32)
+        sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(2, 3))
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        w1f = w_o1.astype(jnp.float32)
+        wp = (inv[..., None] * w1f[None]).astype(x.dtype)
+        bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(x.dtype)
+        out = jnp.einsum("bnlid,bndo->blio", x, wp) - bias[:, None, None, :]
+        out = gelu(out)
+        out = jnp.einsum("blio,oc->blic", out, w_o2)
+        return out.transpose(0, 2, 1, 3) + u
+
+    blkJ.__name__ = f"blkJ{group}"
+    return blkJ
+
+
 def make_chained(fn):
     return jax.jit(
         lambda a, k: jax.lax.fori_loop(
@@ -453,7 +497,9 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
             "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
-            "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkQ": blkQ}
+            "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkQ": blkQ,
+            "blkJ2": make_blkJ(2), "blkJ4": make_blkJ(4),
+            "blkJ8": make_blkJ(8)}
     if aot_only:
         # populate the persistent compile cache without touching the device
         for name in _variants:
