@@ -57,6 +57,7 @@ def build_layer(spec: LayerSpec, dtype=None):
             stride=kw.get("stride", 1),
             padding=kw.get("padding", 0),
             padding_mode=kw.get("padding_mode", "zeros"),
+            upsample_2x=kw.get("upsample_2x", False),
             dtype=dtype,
             name=name,
         )
@@ -67,6 +68,7 @@ def build_layer(spec: LayerSpec, dtype=None):
             stride=kw.get("stride", 1),
             padding=kw.get("padding", 0),
             periodic_direction=kw.get("periodic_direction", "x"),
+            upsample_2x=kw.get("upsample_2x", False),
             dtype=dtype,
             name=name,
         )
@@ -128,7 +130,12 @@ class SpecSequential(nn.Module):
                 x = swish(x)
             elif spec.kind == "resize":
                 kw = spec.kw
-                x = resize_nearest_torch(x, kw["out_h"], kw["out_w"])
+                if kw.get("fused"):
+                    # exact-2x resize folded into the following conv's
+                    # lhs-dilated lowering (specs.py marks both sides)
+                    pass
+                else:
+                    x = resize_nearest_torch(x, kw["out_h"], kw["out_w"])
             else:
                 x = self._layers[spec.name](x)
         return x

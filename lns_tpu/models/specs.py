@@ -141,10 +141,16 @@ def decoder_spec_periodic(cfg) -> List[LayerSpec]:
             resolution *= 2
             idx += 1
 
-    out.append(_spec(idx, "resize", out_h=cfg.Ly, out_w=cfg.Lx))
+    # exact-2x final resize folds into the following conv's lhs-dilated
+    # lowering (ConvND.upsample_2x); torch Sequential idx numbering is
+    # unchanged — the resize spec stays, marked fused, so checkpoint key
+    # parity holds.
+    fuse_up = cfg.Ly == 2 * resolution and cfg.Lx == 2 * resolution
+    out.append(_spec(idx, "resize", out_h=cfg.Ly, out_w=cfg.Lx, fused=fuse_up))
     idx += 1
     resolution = cfg.Ly
-    out.append(_spec(idx, "conv", features=in_ch, kernel_size=3, padding=1, padding_mode=pm))
+    out.append(_spec(idx, "conv", features=in_ch, kernel_size=3, padding=1, padding_mode=pm,
+                     upsample_2x=fuse_up))
     idx += 1
     if cfg.final_smoothing:
         out.append(_spec(idx, "fourier", in_planes=in_ch, planes=in_ch, modes=(16, 16)))
@@ -250,10 +256,15 @@ def decoder_spec_half_periodic(cfg) -> List[LayerSpec]:
             res_h *= 2
             idx += 1
 
-    out.append(_spec(idx, "resize", out_h=cfg.Ly, out_w=cfg.Lx))
+    # exact-2x final resize folds into the following conv (see periodic
+    # variant note); aspect is preserved through the stack so Ly==2*res_h
+    # implies the width also doubles (shape parity is golden-tested).
+    fuse_up = cfg.Ly == 2 * res_h
+    out.append(_spec(idx, "resize", out_h=cfg.Ly, out_w=cfg.Lx, fused=fuse_up))
     idx += 1
     res_h = cfg.Ly
-    out.append(_spec(idx, "hp_conv", features=in_ch, kernel_size=3, padding=1, periodic_direction=pd))
+    out.append(_spec(idx, "hp_conv", features=in_ch, kernel_size=3, padding=1, periodic_direction=pd,
+                     upsample_2x=fuse_up))
     idx += 1
     if cfg.final_smoothing:
         out.append(_spec(idx, "fourier", in_planes=in_ch, planes=in_ch, modes=(16, int(16 * hw_ratio))))
@@ -366,10 +377,12 @@ def decoder_spec_nonsquared(cfg) -> List[LayerSpec]:
             res_h *= 2
             idx += 1
 
-    out.append(_spec(idx, "resize", out_h=cfg.Ly, out_w=cfg.Lx))
+    fuse_up = cfg.Ly == 2 * res_h
+    out.append(_spec(idx, "resize", out_h=cfg.Ly, out_w=cfg.Lx, fused=fuse_up))
     idx += 1
     res_h = cfg.Ly
-    out.append(_spec(idx, "conv", features=in_ch, kernel_size=3, padding=1, padding_mode=pm))
+    out.append(_spec(idx, "conv", features=in_ch, kernel_size=3, padding=1, padding_mode=pm,
+                     upsample_2x=fuse_up))
     idx += 1
     if cfg.final_smoothing:
         out.append(_spec(idx, "fourier", in_planes=in_ch, planes=in_ch, modes=(16, int(16 * hw_ratio))))

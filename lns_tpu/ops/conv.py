@@ -97,6 +97,48 @@ def _wrap_corrections_2d(x, kernel, y, mode):
     return y
 
 
+def _up2x_enabled() -> bool:
+    """Fused nearest-2x-upsample + conv3x3 as one input-dilated conv.
+
+    Measured (round 3, v5e, probe_upsample.py): the naive lowering
+    (materialize the 4x-size nearest-upsampled activation, then conv)
+    costs 4.14 ms at [928,32,32,64]->[.,64,64,.] and 6.33 ms at
+    [336,48,96,64]->[.,96,192,.]; the input-dilated conv with the
+    box-convolved 4x4 kernel (K4 = conv(K, ones(2)) per axis) computes
+    the identical function in 1.51 / 2.26 ms — XLA's TPU emitter handles
+    lhs_dilation without materializing the stuffed tensor. An explicit
+    4-phase sub-pixel decomposition ties with naive (the interleave copy
+    eats the flop savings). LNS_TPU_CONV_UP2X=0 restores the naive path.
+    """
+    return os.environ.get("LNS_TPU_CONV_UP2X", "1") != "0"
+
+
+def _up2x_conv(x, kernel, padding_mode):
+    """nearest-2x upsample + 3x3 stride-1 pad-1 conv, lowered as a single
+    lhs-dilated conv over the SMALL grid (see _up2x_enabled for numbers).
+
+    Identity: with u = nearest2x(x) = box2 * stuff2(x),
+    K * u = (K * box2) * stuff2(x), and K4 = K * box2 has per-axis taps
+    [K0, K0+K1, K1+K2, K2]. Zero-padded axes use pad (2, 2) on the dilated
+    input; periodic axes wrap-pad x by ONE small-grid pixel on each side
+    (u's one-pixel wrap is exactly x's) and use pad (0, 0).
+    """
+    k4 = jnp.zeros((4, 4) + kernel.shape[2:], kernel.dtype)
+    for dp in range(2):
+        for dq in range(2):
+            k4 = k4.at[dp : dp + 3, dq : dq + 3].add(kernel)
+    wrap_h = padding_mode in ("circular", "half_periodic_y")
+    wrap_w = padding_mode in ("circular", "half_periodic_x")
+    if wrap_h:
+        x = jnp.concatenate([x[:, -1:], x, x[:, :1]], axis=1)
+    if wrap_w:
+        x = jnp.concatenate([x[:, :, -1:], x, x[:, :, :1]], axis=2)
+    pads = [(0, 0) if wrap_h else (2, 2), (0, 0) if wrap_w else (2, 2)]
+    return lax.conv_general_dilated(
+        x, k4, (1, 1), pads, lhs_dilation=(2, 2),
+        dimension_numbers=_dim_numbers(2))
+
+
 def _dim_numbers(num_spatial: int):
     # ('NHWC', 'HWIO', 'NHWC') generalized to N spatial dims
     spatial = "DHW"[-num_spatial:] if num_spatial <= 3 else None
@@ -122,6 +164,7 @@ class ConvND(nn.Module):
     dilation: Union[int, Sequence[int]] = 1
     padding_mode: str = "zeros"
     use_bias: bool = True
+    upsample_2x: bool = False
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
     kernel_init: Optional[callable] = None
@@ -153,6 +196,29 @@ class ConvND(nn.Module):
             pads = [(self.padding, self.padding)] * nd
         else:
             pads = [tuple(p) for p in self.padding]
+
+        if self.upsample_2x:
+            # Semantics: nearest-2x upsample of x, then the conv below.
+            if (
+                nd == 2 and ks == (3, 3) and stride == (1, 1)
+                and dil == (1, 1) and list(pads) == [(1, 1), (1, 1)]
+                and self.padding_mode in ("zeros", "circular",
+                                          "half_periodic_x",
+                                          "half_periodic_y")
+                and _up2x_enabled()
+            ):
+                dtype = self.dtype or x.dtype
+                out = _up2x_conv(
+                    x.astype(dtype),
+                    kernel.astype(dtype),
+                    self.padding_mode,
+                ).astype(dtype)
+                if bias is not None:
+                    out = out + bias.astype(dtype)
+                return out
+            # fallback: materialize the nearest-2x upsample
+            for ax in range(1, nd + 1):
+                x = jnp.repeat(x, 2, axis=ax)
 
         # Zero padding rides the convolution natively (lax padding pairs)
         # instead of materializing a jnp.pad copy of the activation — a
@@ -261,6 +327,7 @@ class HalfPeriodicConv2d(nn.Module):
     dilation: int = 1
     periodic_direction: str = "x"
     use_bias: bool = True
+    upsample_2x: bool = False
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -275,6 +342,7 @@ class HalfPeriodicConv2d(nn.Module):
             dilation=self.dilation,
             padding_mode=f"half_periodic_{self.periodic_direction}",
             use_bias=self.use_bias,
+            upsample_2x=self.upsample_2x,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",

@@ -69,17 +69,16 @@ class UpSampleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.num_dimensions == 2:
-            x = upsample_nearest_2x(x)
-        else:
-            for ax in range(1, self.num_dimensions + 1):
-                x = jnp.repeat(x, 2, axis=ax)
+        # nearest-2x + conv fused into one lhs-dilated conv on the small
+        # grid (ConvND.upsample_2x; measured 2.7x faster than
+        # materializing the upsampled activation — probe_upsample.py)
         return ConvND(
             self.channels,
             3,
             num_dimensions=self.num_dimensions,
             padding=1,
             padding_mode=self.padding_mode,
+            upsample_2x=True,
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -170,8 +169,8 @@ class UpSampleBlock2dHalfPeriodic(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
         return HalfPeriodicConv2d(
             self.channels, 3, padding=1,
-            periodic_direction=self.periodic_direction, dtype=self.dtype, name="conv",
+            periodic_direction=self.periodic_direction, upsample_2x=True,
+            dtype=self.dtype, name="conv",
         )(x)
