@@ -102,6 +102,18 @@ def fab_batched(L, tag, b, h, w, c, heads=8, d=64, dt=2):
     L.op(f"{tag}.fc2+res", 2 * u, u, flops=2 * b * hw * c * c, m=c, k=c)
 
 
+def upconv2x(L, tag, b, h, w, cin, cout, dt=2):
+    """nearest-2x + conv3x3 fused as one lhs-dilated conv (round-3 product
+    lowering, ConvND.upsample_2x): reads the SMALL grid, writes the big
+    one, 4 effective taps per output pixel (the dilated input's structural
+    zeros)."""
+    L.op(f"{tag}.upconv",
+         b * h * w * cin * dt + 16 * cin * cout * dt,
+         b * 4 * h * w * cout * dt,
+         flops=2 * b * 4 * h * w * 4 * cin * cout,
+         m=h * w, k=4 * cin)
+
+
 def conv3x3(L, tag, b, h, w, cin, cout, dt=2):
     L.op(tag, b * h * w * cin * dt + 9 * cin * cout * dt,
          b * h * w * cout * dt, flops=2 * b * h * w * 9 * cin * cout,
@@ -138,19 +150,16 @@ def ns2d_decode(b=928):
     L.op("latent_level(8x8)", 14 * z * 8, 14 * z * 8,
          flops=2 * b * 64 * (16 * 128 + 8 * 9 * 128 * 128 + 4 * 128 * 128),
          m=64, k=128)
-    # up 8->16 (nearest broadcast + 3x3 conv per UpSampleBlock)
-    L.op("up16.bcast", b * 64 * 128 * 2, b * 256 * 128 * 2)
-    conv3x3(L, "up16.conv", b, 16, 16, 128, 128)
+    # up 8->16 (fused nearest-2x + conv, see upconv2x)
+    upconv2x(L, "up16", b, 8, 8, 128, 128)
     resblock(L, "res16", b, 16, 16, 128, 64)
     fab_batched(L, "fab16", b, 16, 16, 64)
     # up 16->32 at c=64
-    L.op("up32.bcast", b * 256 * 64 * 2, b * 1024 * 64 * 2)
-    conv3x3(L, "up32.conv", b, 32, 32, 64, 64)
+    upconv2x(L, "up32", b, 16, 16, 64, 64)
     resblock(L, "res32", b, 32, 32, 64, 64)
     fab_batched(L, "fab32", b, 32, 32, 64)
-    # resize 32->64 (exact nearest doubling)
-    L.op("resize64", b * 1024 * 64 * 2, b * 4096 * 64 * 2)
-    conv3x3(L, "head.conv1", b, 64, 64, 64, 64)
+    # resize 32->64 + head conv1, fused (exact nearest doubling)
+    upconv2x(L, "head.conv1", b, 32, 32, 64, 64)
     u = b * 4096 * 64 * 2
     L.op("head.conv2_1x1", 2 * u, u, flops=2 * b * 4096 * 64 * 64,
          m=4096, k=64)
@@ -168,16 +177,14 @@ def sw_decode(b=336):
     L.op("latent_level(12x24)", 12 * zc, 12 * zc,
          flops=2 * b * 288 * (64 * 128 + 7 * 9 * 128 * 128 + 4 * 128 * 128),
          m=288, k=128)
-    L.op("up24x48.bcast", zc, b * 24 * 48 * 128 * 2)
-    conv3x3(L, "up24x48.conv", b, 24, 48, 128, 128)
+    upconv2x(L, "up24x48", b, 12, 24, 128, 128)
     resblock(L, "res24x48", b, 24, 48, 128, 64)
     fab_batched(L, "fab24x48", b, 24, 48, 64)
-    L.op("up48x96.bcast", b * 24 * 48 * 64 * 2, b * 48 * 96 * 64 * 2)
-    conv3x3(L, "up48x96.conv", b, 48, 96, 64, 64)
+    upconv2x(L, "up48x96", b, 24, 48, 64, 64)
     resblock(L, "res48x96", b, 48, 96, 64, 64)
     fab_batched(L, "fab48x96", b, 48, 96, 64)
-    L.op("resize96x192", b * 48 * 96 * 64 * 2, b * 96 * 192 * 64 * 2)
-    conv3x3(L, "head.conv1", b, 96, 192, 64, 64)
+    # resize 48x96 -> 96x192 + head conv1, fused
+    upconv2x(L, "head.conv1", b, 48, 96, 64, 64)
     conv3x3(L, "head.conv2", b, 96, 192, 64, 64)
     u = b * 96 * 192 * 64 * 2
     L.op("head.gn+swish", 2 * u, u)

@@ -248,16 +248,25 @@ def batch_sweep(workloads, batches=(8, 16, 32, 64, 128, 256)):
     model, growing batch — shows where the chip saturates and how much of
     the small-batch time is fixed overhead. Writes results_batch_scaling.json.
     """
+    out_path = os.path.join(HERE, "results_batch_scaling.json")
     results = {"device": str(jax.devices()[0])}
+    if os.path.exists(out_path):
+        # merge across invocations so per-workload batch lists can differ
+        with open(out_path) as f:
+            results.update(json.load(f))
+        results["device"] = str(jax.devices()[0])
     for name in workloads:
         rows = []
         for b in batches:
-            r = bench_workload(name, batch=b, reps=4)
+            try:
+                r = bench_workload(name, batch=b, reps=4)
+            except Exception as e:  # typically HBM OOM at the largest batches
+                r = {"batch": b, "error": repr(e)[:200]}
             rows.append(r)
             print(f"{name} batch={b}: {json.dumps(r)}", flush=True)
-        results[name] = rows
-        with open(os.path.join(HERE, "results_batch_scaling.json"), "w") as f:
-            json.dump(results, f, indent=2)
+            results[name] = rows
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=2)
     return results
 
 
