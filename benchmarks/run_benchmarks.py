@@ -110,7 +110,8 @@ def _diff_time(fn, reps):
     return dt, err
 
 
-def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None):
+def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None,
+                   decode_chunk=None):
     from lns_tpu.models import LatentDynamics
 
     cfg_fn, shape, steps, default_batch = WORKLOADS[name]
@@ -123,7 +124,8 @@ def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None):
     @jax.jit
     def rollout_chain(params, x, n):
         def body(i, carry):
-            y = model.predict(params, carry, steps=steps, to_x=True)
+            y = model.predict(params, carry, steps=steps, to_x=True,
+                              decode_chunk=decode_chunk)
             return carry + 1e-6 * y[:, -1]
 
         return jax.lax.fori_loop(0, n, body, x)[0, 0, 0, 0]
@@ -132,13 +134,16 @@ def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None):
     run(1)  # compile + warmup
     dt, err = _diff_time(run, reps)
     fps = batch * steps / dt
-    return {
+    r = {
         "rollout_steps": steps,
         "batch": batch,
         "rollout_ms": round(dt * 1e3, 2),
         "rollout_ms_err": round(err * 1e3, 2),
         "frames_per_sec_per_chip": round(fps, 1),
     }
+    if decode_chunk is not None:
+        r["decode_chunk"] = decode_chunk
+    return r
 
 
 def bench_train_step(name, dtype=jnp.float32, reps=10, batch=32):
@@ -279,6 +284,9 @@ def main():
     p.add_argument("--batch-sweep", action="store_true",
                    help="rollout batch-scaling curves (results_batch_scaling.json)")
     p.add_argument("--batches", default="8,16,32,64,128,256")
+    p.add_argument("--decode-chunk", type=int, default=None,
+                   help="chunk the fused rollout's batched decode "
+                        "(lax.map over (batch*steps)//chunk sub-batches)")
     args = p.parse_args()
 
     if args.batch_sweep:
@@ -288,7 +296,7 @@ def main():
 
     results = {"device": str(jax.devices()[0])}
     for name in args.workloads.split(","):
-        r = bench_workload(name)
+        r = bench_workload(name, decode_chunk=args.decode_chunk)
         if args.train_steps:
             r.update(bench_train_step(name))
         if args.stage1:

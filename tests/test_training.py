@@ -117,6 +117,22 @@ def test_rollout_loss_gradients_flow_through_time(tmp_path):
     assert total > 0
 
 
+def test_chunked_decode_matches_batched(tmp_path):
+    """predict(decode_chunk=k) must equal the one-pass batched decode for
+    both dividing and non-dividing chunk sizes (padding path)."""
+    cfg = synthetic_config("ns2d", str(tmp_path), epochs=1)
+    from lns_tpu.models import LatentDynamics
+
+    model = LatentDynamics(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), x.shape)["params"]
+    y = np.asarray(model.predict({"params": params}, x, 4, to_x=True))
+    for chunk in (4, 5, 12, 64):  # 3*4=12 frames: divides, pads, exact, >n
+        yc = np.asarray(model.predict({"params": params}, x, 4, to_x=True,
+                                      decode_chunk=chunk))
+        np.testing.assert_allclose(yc, y, rtol=0, atol=1e-5)
+
+
 def test_bf16_rollout_close_to_f32(tmp_path):
     """The bf16 benchmark path must track the f32 rollout (short horizon,
     random-init weights — loose bound, just guards against blowups)."""
