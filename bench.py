@@ -40,6 +40,11 @@ A100_TORCH_BASELINE_FPS = 5000.0  # estimated reference throughput (BASELINE.md)
 BATCH = int(__import__("os").environ.get("LNS_BENCH_BATCH", "32"))
 STEPS = 29
 REPS = 20
+# Decode the (batch*steps) frames in ~116-frame chunks (lax.map): measured
+# optimum on v5e — the NS2d decode scales inversely past ~464 frames
+# (BASELINE.md "Single-chip batch scaling"); chunk sweep: none 17.5k /
+# 464 19.7k / 232 21.1k / 116 21.9k / 58 20.9k frames/s. 0 disables.
+DECODE_CHUNK = int(__import__("os").environ.get("LNS_BENCH_DECODE_CHUNK", "116")) or None
 
 
 def build():
@@ -67,7 +72,8 @@ def build():
         be optimized away; returns a scalar to fetch."""
 
         def body(i, carry):
-            y = model.predict(params, carry, steps=STEPS, to_x=True)
+            y = model.predict(params, carry, steps=STEPS, to_x=True,
+                              decode_chunk=DECODE_CHUNK)
             # feed the last predicted frame back (scaled) — real dependency
             return carry + 1e-6 * y[:, -1]
 

@@ -110,12 +110,20 @@ def _diff_time(fn, reps):
     return dt, err
 
 
+# measured-optimal decode chunk sizes (frames) per workload; see
+# BASELINE.md "Single-chip batch scaling" — NS2d's decode scales inversely
+# past ~464 frames, SW/two-phase saturate unchunked.
+DEFAULT_DECODE_CHUNK = {"ns2d": 116}
+
+
 def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None,
-                   decode_chunk=None):
+                   decode_chunk="auto"):
     from lns_tpu.models import LatentDynamics
 
     cfg_fn, shape, steps, default_batch = WORKLOADS[name]
     batch = batch or default_batch
+    if decode_chunk == "auto":
+        decode_chunk = DEFAULT_DECODE_CHUNK.get(name)
     cfg = cfg_fn()
     model = LatentDynamics(cfg, dtype=dtype, ae_dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch,) + shape, jnp.float32)
@@ -264,7 +272,8 @@ def batch_sweep(workloads, batches=(8, 16, 32, 64, 128, 256)):
         rows = []
         for b in batches:
             try:
-                r = bench_workload(name, batch=b, reps=4)
+                # unchunked: the sweep characterizes the raw decode scaling
+                r = bench_workload(name, batch=b, reps=4, decode_chunk=None)
             except Exception as e:  # typically HBM OOM at the largest batches
                 r = {"batch": b, "error": repr(e)[:200]}
             rows.append(r)
@@ -296,7 +305,9 @@ def main():
 
     results = {"device": str(jax.devices()[0])}
     for name in args.workloads.split(","):
-        r = bench_workload(name, decode_chunk=args.decode_chunk)
+        r = bench_workload(
+            name,
+            decode_chunk="auto" if args.decode_chunk is None else args.decode_chunk)
         if args.train_steps:
             r.update(bench_train_step(name))
         if args.stage1:
