@@ -18,6 +18,10 @@ def main():
     p.add_argument("--checkpoint", type=str, required=True,
                    help="stage-2 model checkpoint (.msgpack or reference .pt)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--decode-chunk", type=int, default=None,
+                   help="chunk the fused rollout's batched decode into "
+                        "this many frames per lax.map step (numerically "
+                        "identical; see BASELINE.md batch-scaling notes)")
     p.add_argument("--out", type=str, default=None, help="write metrics JSON here")
     args = p.parse_args()
 
@@ -46,8 +50,11 @@ def main():
     template = model.init(jax.random.PRNGKey(0), (1,) + x0.shape[2:])["params"]
     params = load_latent_dynamics_checkpoint(cfg, args.checkpoint, template)
 
-    predict = jax.jit(lambda p, x, c: model.predict(p, x, steps, cond=c, to_x=True)) \
-        if cfg.is_conditional else jax.jit(lambda p, x: model.predict(p, x, steps, to_x=True))
+    dc = args.decode_chunk
+    predict = jax.jit(lambda p, x, c: model.predict(p, x, steps, cond=c, to_x=True,
+                                                    decode_chunk=dc)) \
+        if cfg.is_conditional else \
+        jax.jit(lambda p, x: model.predict(p, x, steps, to_x=True, decode_chunk=dc))
 
     frame_errs, seq_errs = [], []
     for i in range(0, x0.shape[0], args.batch_size):
