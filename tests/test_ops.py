@@ -69,6 +69,22 @@ class TestConv:
         yt = tc(to_nchw(x))
         np.testing.assert_allclose(np.array(y), from_nchw(yt), atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "mode", ["zeros", "circular", "half_periodic_x", "half_periodic_y"])
+    def test_upsample_2x_conv_matches_materialized(self, mode):
+        """ConvND(upsample_2x=True) — the lhs-dilated fused lowering — must
+        equal nearest-2x repeat followed by the same conv, per padding mode
+        (reference op being fused: modules/basics.py:279-299 Upsample2D)."""
+        x = random.normal(KEY, (2, 5, 7, 8))
+        fused = ops.ConvND(16, 3, padding=1, padding_mode=mode, upsample_2x=True)
+        p = fused.init(KEY, x)
+        y = fused.apply(p, x)
+        xup = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        plain = ops.ConvND(16, 3, padding=1, padding_mode=mode)
+        y_ref = plain.apply(p, xup)
+        assert y.shape == (2, 10, 14, 16)
+        np.testing.assert_allclose(np.array(y), np.array(y_ref), atol=2e-5)
+
     def test_dilated_conv(self):
         x = random.normal(KEY, (2, 8, 8, 4))
         conv = ops.ConvND(4, 3, padding=2, dilation=2, padding_mode="circular")
