@@ -50,7 +50,8 @@ def main():
     template = model.init(jax.random.PRNGKey(0), (1,) + x0.shape[2:])["params"]
     params = load_latent_dynamics_checkpoint(cfg, args.checkpoint, template)
 
-    dc = args.decode_chunk
+    dc = args.decode_chunk if args.decode_chunk is not None \
+        else getattr(cfg, "decode_chunk", None)
     predict = jax.jit(lambda p, x, c: model.predict(p, x, steps, cond=c, to_x=True,
                                                     decode_chunk=dc)) \
         if cfg.is_conditional else \

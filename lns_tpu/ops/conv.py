@@ -116,6 +116,9 @@ def _up2x_enabled() -> bool:
 def _up2x_conv(x, kernel, padding_mode):
     """nearest-2x upsample + 3x3 stride-1 pad-1 conv, lowered as a single
     lhs-dilated conv over the SMALL grid (see _up2x_enabled for numbers).
+    Reference op pair being fused: modules/basics.py:279-299 (Upsample2D:
+    nn.Upsample(nearest, 2x) + Conv2d(3, padding=1)) and the decoders'
+    final resize->conv (modules/autoencoder2d.py decoder tail).
 
     Identity: with u = nearest2x(x) = box2 * stuff2(x),
     K * u = (K * box2) * stuff2(x), and K4 = K * box2 has per-axis taps

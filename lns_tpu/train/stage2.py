@@ -220,13 +220,19 @@ class Stage2Trainer:
         n, steps = y.shape[0], y.shape[1]
 
         if steps not in self._predict_cache:
+            # optional `decode_chunk:` config key — chunk the fused
+            # rollout's batched decode (numerically identical; measured
+            # optimum 116 frames for NS2d-scale decodes, BASELINE.md)
+            dc = getattr(self.cfg, "decode_chunk", None)
             if self.conditional:
                 self._predict_cache[steps] = jax.jit(
-                    lambda p, x, c: self.model.predict(p, x, steps, cond=c, to_x=True)
+                    lambda p, x, c: self.model.predict(p, x, steps, cond=c, to_x=True,
+                                                       decode_chunk=dc)
                 )
             else:
                 self._predict_cache[steps] = jax.jit(
-                    lambda p, x: self.model.predict(p, x, steps, to_x=True)
+                    lambda p, x: self.model.predict(p, x, steps, to_x=True,
+                                                    decode_chunk=dc)
                 )
         predict = self._predict_cache[steps]
 
