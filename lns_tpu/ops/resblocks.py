@@ -16,7 +16,6 @@ from lns_tpu.ops.activations import swish
 from lns_tpu.ops.conv import Conv1x1, ConvND, HalfPeriodicConv2d
 from lns_tpu.ops.norms import GroupNorm
 from lns_tpu.ops.padding import pad_nd
-from lns_tpu.ops.sampling import upsample_nearest_2x
 
 
 class ResidualBlock(nn.Module):
