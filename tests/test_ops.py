@@ -85,6 +85,49 @@ class TestConv:
         assert y.shape == (2, 10, 14, 16)
         np.testing.assert_allclose(np.array(y), np.array(y_ref), atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "mode,up",
+        [("zeros", False), ("circular", False), ("half_periodic_x", False),
+         ("zeros", True), ("circular", True), ("half_periodic_y", True)])
+    def test_conv_gradients_match_torch(self, mode, up):
+        """Input and kernel gradients of the TPU lowerings (wrap-strip
+        decompose, fused lhs-dilated upsample) must match torch autograd —
+        the stage-1 trainer differentiates through every one of these."""
+        x = random.normal(KEY, (2, 6, 8, 4))
+        conv = ops.ConvND(5, 3, padding=1, padding_mode=mode, upsample_2x=up)
+        p = conv.init(KEY, x)
+
+        def loss(xx, kk):
+            pp = {"params": {**p["params"], "kernel": kk}}
+            return jnp.sum(jnp.sin(conv.apply(pp, xx)))
+
+        gx, gk = jax.grad(loss, argnums=(0, 1))(x, p["params"]["kernel"])
+
+        w = torch.tensor(np.array(p["params"]["kernel"]),
+                         requires_grad=True)
+        b = torch.tensor(np.array(p["params"]["bias"]))
+        xt = to_nchw(x).requires_grad_(True)
+        xin = xt
+        if up:
+            xin = F.interpolate(xt, scale_factor=2, mode="nearest")
+        if mode == "zeros":
+            xp, pad = xin, 1
+        elif mode == "circular":
+            xp, pad = F.pad(xin, (1, 1, 1, 1), mode="circular"), 0
+        elif mode == "half_periodic_x":
+            xp = F.pad(xin, (1, 1, 0, 0), mode="circular")
+            xp, pad = F.pad(xp, (0, 0, 1, 1)), 0
+        else:  # half_periodic_y
+            xp = F.pad(xin, (0, 0, 1, 1), mode="circular")
+            xp, pad = F.pad(xp, (1, 1, 0, 0)), 0
+        yt = F.conv2d(xp, w.permute(3, 2, 0, 1), b, padding=pad)
+        torch.sum(torch.sin(yt)).backward()
+
+        np.testing.assert_allclose(np.array(gx), xt.grad.permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-5, atol=3e-5)
+        np.testing.assert_allclose(np.array(gk), w.grad.numpy(),
+                                   rtol=1e-5, atol=3e-5)
+
     def test_dilated_conv(self):
         x = random.normal(KEY, (2, 8, 8, 4))
         conv = ops.ConvND(4, 3, padding=2, dilation=2, padding_mode="circular")
