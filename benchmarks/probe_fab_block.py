@@ -413,6 +413,51 @@ def blkQ(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out.transpose(0, 2, 1, 3) + u
 
 
+def blkK(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """Batched c-space chains (round 3, formulation #11): the axial kernels
+    apply to u in CHANNEL space like blkF (the in_proj is linear and
+    commutes past them), but with heads as dot batch/free dims in fully
+    native dot order like blkG — no Python loop, no per-head accumulate
+    passes. Big-tensor traffic vs blkG: the in_proj pass and the 5D
+    relayout copy (xplane: ~6.3 ms at 32x32) never exist — {write A,
+    read A, write B, 2x read B} = 5 passes vs blkG's 9. The first apply
+    also stops being MXU-starved: it batches over b ONLY, so its lhs free
+    dims are (n, l) = 8*w rows instead of blkG's per-(b,n) M=32. IN
+    statistics of the never-materialized phi = B @ Win are recovered
+    exactly (blkF math): E[phi^2] = diag(Win^T (Gram_B/N) Win); the mean
+    via a tiny kernel-colsum contraction against u. Only pays when
+    c <= d (the c-space tensor carries c channels where blkG's carries d):
+    at c=128/d=64 shapes the applies double in bytes+FLOPs."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    N = h * w
+    # col apply in c-space; batch b ONLY -> lhs free (n, l), contract w
+    A = jnp.einsum("bnlw,bhwc->bnlhc", ky, u)
+    # row apply; batch (b, n), contract h; native out (b, n, i, l, c)
+    B = jnp.einsum("bnih,bnlhc->bnilc", kx, A)
+    # stats of phi = B @ Win without materializing phi
+    kx_s = jnp.sum(kx, axis=2, dtype=jnp.float32)   # [b, n, h]
+    ky_s = jnp.sum(ky, axis=2, dtype=jnp.float32)   # [b, n, w]
+    mean_c = jnp.einsum("bnh,bnw,bhwc->bnc", kx_s, ky_s,
+                        u.astype(jnp.float32)) / N              # [b, n, c]
+    G = jnp.einsum("bnilc,bnile->bnce", B, B,
+                   preferred_element_type=jnp.float32)          # [b,n,c,c]
+    wf = w_in.astype(jnp.float32)                                # [c, n, d]
+    mean = jnp.einsum("bnc,cnd->bnd", mean_c, wf)                # [b, n, d]
+    ex2 = jnp.einsum("cnd,bnce,end->bnd", wf, G / N, wf)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                               # [b, n, d]
+    w1f = w_o1.astype(jnp.float32)                               # [n, d, o]
+    # fold in_proj + IN + out_fc1 into one per-(b, n) c->o matrix
+    M = jnp.einsum("cnd,bnd,ndo->bnco", wf, inv, w1f).astype(B.dtype)
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(B.dtype)
+    # joint head-sum out projection: contract (n, c) in ONE dot
+    out = jnp.einsum("bnilc,bnco->bilo", B, M) - bias[:, None, None, :]
+    out = gelu(out)                                              # [b, h, w, o]
+    out = jnp.einsum("bilo,oc->bilc", out, w_o2)
+    return out + u
+
+
 def make_blkJ(group: int):
     """blkG with the ROW apply group-blockdiagonal (round 3, VERDICT lever
     1a re-run on the native-order batched formulation): the row dot's
@@ -497,7 +542,8 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     _variants = _os.environ.get("FAB_VARIANTS", "blkA,blkD").split(",")
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
             "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
-            "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkQ": blkQ,
+            "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkK": blkK,
+            "blkQ": blkQ,
             "blkJ2": make_blkJ(2), "blkJ4": make_blkJ(4),
             "blkJ8": make_blkJ(8)}
     if aot_only:

@@ -89,14 +89,23 @@ def main():
         w_o2 = (jax.random.normal(ks[5], (c, c)) / c**0.5).astype(dtype)
         fargs = (u, kx, ky, w_in, w_o1, w_o2)
 
-        if args.what == "decode":
-            from __graft_entry__ import _ns2d_cfg
+        if args.what in ("decode", "sw_decode"):
             from lns_tpu.models.autoencoder import SimpleAutoencoder
 
-            cfg = _ns2d_cfg()
+            if args.what == "sw_decode":
+                # SW benchmark decode shape: 42 steps x batch 8 = 336 frames
+                from benchmarks.run_benchmarks import sw_cfg
+
+                cfg = sw_cfg()
+                z_shape, x_shape = (336, 12, 24, 64), (2, 96, 192, 3)
+            else:
+                from __graft_entry__ import _ns2d_cfg
+
+                cfg = _ns2d_cfg()
+                z_shape, x_shape = (928, 8, 8, 16), (2, 64, 64, 1)
             ae = SimpleAutoencoder(cfg, dtype=dtype)
-            z = jax.random.normal(jax.random.PRNGKey(0), (928, 8, 8, 16), jnp.float32)
-            variables = ae.init(jax.random.PRNGKey(1), jnp.zeros((2, 64, 64, 1)))
+            z = jax.random.normal(jax.random.PRNGKey(0), z_shape, jnp.float32)
+            variables = ae.init(jax.random.PRNGKey(1), jnp.zeros(x_shape))
             aparams = variables["params"]
 
             @jax.jit
@@ -111,7 +120,7 @@ def main():
         else:
             fn = {"blkA": pb.blkA, "blkB": pb.blkB, "blkC": pb.blkC,
                   "blkD": pb.blkD, "blkF": pb.blkF, "blkG": pb.blkG,
-                  "blkH": pb.blkH}[args.what]
+                  "blkH": pb.blkH, "blkK": pb.blkK}[args.what]
             jfn = jax.jit(fn)
             np.asarray(jfn(*fargs)[0, 0, 0, 0])
             with jax.profiler.trace(args.logdir):

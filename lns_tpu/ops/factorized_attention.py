@@ -175,7 +175,7 @@ def instance_norm_headmajor(phi, eps: float = 1e-5):
     return (phi - mean.astype(phi.dtype)) * inv.astype(phi.dtype)
 
 
-def _fab_impl_for(hw: int) -> str:
+def _fab_impl_for(hw: int, dim: int = 0, phi_dim: int = 1 << 30) -> str:
     """Formulation selector (round-3 measurement campaign,
     benchmarks/probe_fab_block.py at the decode bench shapes, bf16, ms for
     one block):
@@ -251,9 +251,11 @@ class FABlock2D(nn.Module):
         k_y = k_y.astype(u.dtype)
 
         h, w = u.shape[1], u.shape[2]
-        impl = _fab_impl_for(h * w)
+        impl = _fab_impl_for(h * w, self.dim, self.heads * self.dim_head)
         if impl == "batched":
             out = self._batched_core(u, k_x, k_y, w_in, w_o1)
+        elif impl == "batchedgram":
+            out = self._batched_gram_core(u, k_x, k_y, w_in, w_o1)
         elif impl == "gram":
             out = self._gram_core(u, k_x, k_y, w_in, w_o1)
         elif impl == "perhead":
@@ -315,6 +317,51 @@ class FABlock2D(nn.Module):
         out = jnp.einsum("bnlid,bndo->blio", x, wp) - bias[:, None, None, :]
         # [b, w, h, o] -> [b, h, w, o] (small tensor; fuses downstream)
         return out.transpose(0, 2, 1, 3)
+
+    @staticmethod
+    def _batched_gram_core(u, k_x, k_y, w_in, w_o1, eps: float = 1e-5):
+        """Batched c-space chains (round 3; probe blkK): the axial kernels
+        apply to u in CHANNEL space like `_gram_core` (the in_proj is
+        linear and commutes past them), but with heads as dot batch/free
+        dims in fully native dot order like `_batched_core` — no Python
+        loop, no per-head accumulate passes. Big-tensor traffic vs
+        `_batched_core`: the in_proj pass never exists ({write A, read A,
+        write B, 2x read B} = 5 passes vs 9), and the first apply batches
+        over b ONLY so its lhs free dims are (n, l) rows instead of
+        per-(b, n) M=h — no MXU starvation. IN statistics of the
+        never-materialized phi = B @ W_in are recovered exactly from B's
+        Gram matrix (`_gram_core` math). Only pays when c <= heads*d: the
+        c-space tensor carries c channels where `_batched_core`'s carries
+        heads*d."""
+        b, h, w, c = u.shape
+        heads = k_x.shape[1]
+        n_px = h * w
+        # col apply in c-space; batch b ONLY -> lhs free (n, l), contract w
+        a = jnp.einsum("bnlw,bhwc->bnlhc", k_y, u)
+        # row apply; batch (b, n), contract h; native out (b, n, i, l, c)
+        bb = jnp.einsum("bnih,bnlhc->bnilc", k_x, a)
+        # stats of phi = bb @ w_in without materializing phi
+        kx_s = jnp.sum(k_x, axis=2, dtype=jnp.float32)  # [b, n, h]
+        ky_s = jnp.sum(k_y, axis=2, dtype=jnp.float32)  # [b, n, w]
+        mean_c = (
+            jnp.einsum("bnh,bnw,bhwc->bnc", kx_s, ky_s, u.astype(jnp.float32))
+            / n_px
+        )
+        g = jnp.einsum(
+            "bnilc,bnile->bnce", bb, bb, preferred_element_type=jnp.float32
+        )
+        wf = w_in.astype(jnp.float32)  # [c, n, d]
+        mean = jnp.einsum("bnc,cnd->bnd", mean_c, wf)  # [b, n, d]
+        ex2 = jnp.einsum("cnd,bnce,end->bnd", wf, g / n_px, wf)
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)  # [b, n, d]
+        w1f = w_o1.astype(jnp.float32)  # [n, d, o]
+        # fold in_proj + IN + out_fc1 into one per-(b, n) c->o matrix
+        m = jnp.einsum("cnd,bnd,ndo->bnco", wf, inv, w1f).astype(bb.dtype)
+        bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(bb.dtype)
+        # joint head-sum out projection: contract (n, c) in ONE dot;
+        # output is already (b, h, w, o) — i indexes h, l indexes w
+        return jnp.einsum("bnilc,bnco->bilo", bb, m) - bias[:, None, None, :]
 
     @staticmethod
     def _per_head_core(u, k_x, k_y, w_in, w_o1):

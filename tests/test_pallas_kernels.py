@@ -106,7 +106,7 @@ def test_fablock_perhead_path_matches_headmajor_math():
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["perhead", "gram", "batched"])
+@pytest.mark.parametrize("impl", ["perhead", "gram", "batched", "batchedgram"])
 @pytest.mark.parametrize("hw", [(16, 16), (40, 28)])
 def test_fablock_impl_equivalence(impl, hw, monkeypatch):
     """Every FABlock2D formulation (round-3 shape dispatch: perhead at
