@@ -125,3 +125,33 @@ def test_fablock_impl_equivalence(impl, hw, monkeypatch):
     monkeypatch.setenv("LNS_TPU_FAB_IMPL", impl)
     out = fab.apply(p, x)
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=3e-4)
+
+
+@pytest.mark.parametrize("impl", ["perhead", "gram", "batched", "batchedgram"])
+def test_fablock_impl_gradient_parity(impl, monkeypatch):
+    """The formulation dispatch also runs under jax.grad (stage-1 AE
+    training backprops through decoder FABlock2Ds), so every core's VJP
+    must match the head-major reference — catches e.g. a wrong stop-grad
+    or dtype cut in the folded-statistics formulations."""
+    import lns_tpu.ops as ops
+
+    c, heads, d = 16, 4, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 20, c))
+    fab = ops.FABlock2D(c, d, d, heads, c)
+    p = fab.init(jax.random.PRNGKey(1), x)
+
+    def loss(params, x):
+        y = fab.apply(params, x)
+        return jnp.sum(jnp.sin(y))  # non-trivial cotangent
+
+    monkeypatch.setenv("LNS_TPU_FAB_IMPL", "headmajor")
+    ref_gp, ref_gx = jax.grad(loss, argnums=(0, 1))(p, x)
+    monkeypatch.setenv("LNS_TPU_FAB_IMPL", impl)
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.array(gx), np.array(ref_gx), atol=5e-4)
+    for ref_leaf, leaf in zip(
+        jax.tree.leaves(ref_gp), jax.tree.leaves(gp), strict=True
+    ):
+        np.testing.assert_allclose(
+            np.array(leaf), np.array(ref_leaf), atol=5e-4
+        )
