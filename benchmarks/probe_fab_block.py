@@ -458,6 +458,44 @@ def blkK(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out + u
 
 
+def blkK2(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkK with the apply order swapped: ROW kernel first (batched over b
+    only), COL kernel second (per (b, n)). The order decides which apply
+    bears which contraction size and MXU utilization: the second apply is
+    per-(b, n) with M = its own axis and K = the other axis, so putting
+    the LONGER axis second lifts the starved dot (SW 48x96: second apply
+    M=K=96 at util 0.56 instead of M=K=48 at 0.14 — ~1.6x fewer
+    starved-dot ms for the apply pair). Costs one full-size [b, w, h, o]
+    -> [b, h, w, o] transpose at the end (the final dot's native order
+    leads with l). Identical math to blkK."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    N = h * w
+    # row apply in c-space; batch b ONLY -> lhs free (n, i), contract h
+    A = jnp.einsum("bnih,bhwc->bniwc", kx, u)
+    # col apply; batch (b, n), contract w; native out (b, n, l, i, c)
+    B = jnp.einsum("bnlw,bniwc->bnlic", ky, A)
+    kx_s = jnp.sum(kx, axis=2, dtype=jnp.float32)   # [b, n, h]
+    ky_s = jnp.sum(ky, axis=2, dtype=jnp.float32)   # [b, n, w]
+    mean_c = jnp.einsum("bnh,bnw,bhwc->bnc", kx_s, ky_s,
+                        u.astype(jnp.float32)) / N              # [b, n, c]
+    G = jnp.einsum("bnlic,bnlie->bnce", B, B,
+                   preferred_element_type=jnp.float32)          # [b,n,c,c]
+    wf = w_in.astype(jnp.float32)                                # [c, n, d]
+    mean = jnp.einsum("bnc,cnd->bnd", mean_c, wf)                # [b, n, d]
+    ex2 = jnp.einsum("cnd,bnce,end->bnd", wf, G / N, wf)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                               # [b, n, d]
+    w1f = w_o1.astype(jnp.float32)                                # [n, d, o]
+    M = jnp.einsum("cnd,bnd,ndo->bnco", wf, inv, w1f).astype(B.dtype)
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(B.dtype)
+    # joint head-sum out projection; native out (b, l, i, o) = [b, w, h, o]
+    out = jnp.einsum("bnlic,bnco->blio", B, M) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("blio,oc->blic", out, w_o2)
+    return out.transpose(0, 2, 1, 3) + u
+
+
 def make_blkJ(group: int):
     """blkG with the ROW apply group-blockdiagonal (round 3, VERDICT lever
     1a re-run on the native-order batched formulation): the row dot's
@@ -543,7 +581,7 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
             "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
             "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkK": blkK,
-            "blkQ": blkQ,
+            "blkK2": blkK2, "blkQ": blkQ,
             "blkJ2": make_blkJ(2), "blkJ4": make_blkJ(4),
             "blkJ8": make_blkJ(8)}
     if aot_only:
