@@ -332,14 +332,28 @@ class FABlock2D(nn.Module):
         never-materialized phi = B @ W_in are recovered exactly from B's
         Gram matrix (`_gram_core` math). Only pays when c <= heads*d: the
         c-space tensor carries c channels where `_batched_core`'s carries
-        heads*d."""
+        heads*d.
+
+        Apply order (probe blkK vs blkK2): the second apply runs per
+        (b, n) with M = K = its own axis length, so the LONGER axis goes
+        second to lift that dot's MXU tile occupancy (48x96: M=K=96 at
+        0.56 utilization instead of 48 at 0.14); the w-second order costs
+        one full-size [b, w, h, o] -> [b, h, w, o] transpose at the end
+        (its dot's native order leads with l)."""
         b, h, w, c = u.shape
         heads = k_x.shape[1]
         n_px = h * w
-        # col apply in c-space; batch b ONLY -> lhs free (n, l), contract w
-        a = jnp.einsum("bnlw,bhwc->bnlhc", k_y, u)
-        # row apply; batch (b, n), contract h; native out (b, n, i, l, c)
-        bb = jnp.einsum("bnih,bnlhc->bnilc", k_x, a)
+        if w > h:
+            # row apply first (batch b only, contract h), col apply second
+            a = jnp.einsum("bnih,bhwc->bniwc", k_x, u)
+            bb = jnp.einsum("bnlw,bniwc->bnlic", k_y, a)
+            spatial = "li"  # bb spatial index order: (w-index, h-index)
+        else:
+            # col apply in c-space; batch b ONLY -> lhs free (n,l), contract w
+            a = jnp.einsum("bnlw,bhwc->bnlhc", k_y, u)
+            # row apply; batch (b, n), contract h; native out (b,n,i,l,c)
+            bb = jnp.einsum("bnih,bnlhc->bnilc", k_x, a)
+            spatial = "il"
         # stats of phi = bb @ w_in without materializing phi
         kx_s = jnp.sum(k_x, axis=2, dtype=jnp.float32)  # [b, n, h]
         ky_s = jnp.sum(k_y, axis=2, dtype=jnp.float32)  # [b, n, w]
@@ -347,6 +361,7 @@ class FABlock2D(nn.Module):
             jnp.einsum("bnh,bnw,bhwc->bnc", kx_s, ky_s, u.astype(jnp.float32))
             / n_px
         )
+        # Gram over BOTH spatial dims — insensitive to bb's spatial order
         g = jnp.einsum(
             "bnilc,bnile->bnce", bb, bb, preferred_element_type=jnp.float32
         )
@@ -359,8 +374,10 @@ class FABlock2D(nn.Module):
         # fold in_proj + IN + out_fc1 into one per-(b, n) c->o matrix
         m = jnp.einsum("cnd,bnd,ndo->bnco", wf, inv, w1f).astype(bb.dtype)
         bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(bb.dtype)
-        # joint head-sum out projection: contract (n, c) in ONE dot;
-        # output is already (b, h, w, o) — i indexes h, l indexes w
+        # joint head-sum out projection: contract (n, c) in ONE dot
+        if spatial == "li":
+            out = jnp.einsum("bnlic,bnco->blio", bb, m) - bias[:, None, None, :]
+            return out.transpose(0, 2, 1, 3)  # [b, w, h, o] -> [b, h, w, o]
         return jnp.einsum("bnilc,bnco->bilo", bb, m) - bias[:, None, None, :]
 
     @staticmethod

@@ -107,7 +107,7 @@ def test_fablock_perhead_path_matches_headmajor_math():
 
 
 @pytest.mark.parametrize("impl", ["perhead", "gram", "batched", "batchedgram"])
-@pytest.mark.parametrize("hw", [(16, 16), (40, 28)])
+@pytest.mark.parametrize("hw", [(16, 16), (40, 28), (28, 40)])
 def test_fablock_impl_equivalence(impl, hw, monkeypatch):
     """Every FABlock2D formulation (round-3 shape dispatch: perhead at
     16x16-class sizes, head-major at 32x32-class, gram above) must produce
