@@ -6,15 +6,18 @@ axis descriptors (no softmax — a low-rank kernel a la the factorized
 transformer), then applies them sequentially as batched matmuls:
 O(h^2 + w^2) instead of O((hw)^2).
 
-TPU mapping (round-3 default, `_batched_core`): the 8x-inflated value
-tensor is only ever touched by dot_generals in their NATIVE output dim
-order (batch dims, lhs free, rhs free) with the head axis as a dot batch
-dim — zero transposes, zero layout-assignment copies — and the instance
-norm is folded into per-batch out-projection weights so no elementwise op
-touches a full-size tensor. Earlier formulations (head-major blockdiag
-MXU packing, per-head chains, Gram-statistics c-space) are kept
-selectable via LNS_TPU_FAB_IMPL; the probe shootout lives in
-benchmarks/probe_fab_block.py and the measured table in _fab_impl_for.
+TPU mapping (round-3 defaults): every big-tensor op is a dot_general in
+its NATIVE output dim order (batch dims, lhs free, rhs free) — zero
+transposes, zero layout-assignment copies — and the instance norm is
+folded into per-batch out-projection weights so no elementwise op touches
+a full-size tensor. Two cores split the shapes on a traffic model
+(`_fab_impl_for`): `_batched_gram_core` applies the axial kernels in
+channel space (5 passes over a heads*c-wide tensor, first apply never
+MXU-starved) and wins when 5c < 9d; `_batched_core` keeps the head-major
+d-space chains (9 passes over heads*d) and wins otherwise. Earlier
+formulations (head-major blockdiag MXU packing, per-head chains, looped
+Gram c-space) stay selectable via LNS_TPU_FAB_IMPL; the probe shootout
+lives in benchmarks/probe_fab_block.py.
 """
 
 from __future__ import annotations
@@ -175,27 +178,33 @@ def instance_norm_headmajor(phi, eps: float = 1e-5):
     return (phi - mean.astype(phi.dtype)) * inv.astype(phi.dtype)
 
 
-def _fab_impl_for(hw: int, dim: int = 0, phi_dim: int = 1 << 30) -> str:
+def _fab_impl_for(hw: int, dim: int = 0, dim_head: int = 64) -> str:
     """Formulation selector (round-3 measurement campaign,
     benchmarks/probe_fab_block.py at the decode bench shapes, bf16, ms for
-    one block):
+    one block; heads=8, dim_head=64):
 
-      h*w            headmajor  perhead   gram    batched
-      16x16  =  256     8.02      5.41     6.18   **3.65**
-      32x32  = 1024    28.51     31.44    28.69  **24.61**
-      24x48  = 1152       —       8.70     8.19   **5.50**
-      48x96  = 4608       —      37.72    31.65  **30.52**
+      shape             headmajor perhead  gram  batched  batchedgram
+      16x16 c128  8.02   5.41   6.18    **3.63**    7.32
+      32x32 c64  28.51  31.44  28.69     24.80   **16.94**
+      24x48 c128    —    8.70   8.19    **5.61**    8.51
+      48x96 c64     —   37.72  31.65     30.02   **25.03**
 
-    `batched` (native-dot-order batched per-head chains, no transposes, no
-    blockdiag, IN folded into the out projection, heads summed inside the
-    final contraction) won at every measured shape and is the default
-    everywhere. The other formulations are kept selectable via
-    LNS_TPU_FAB_IMPL for benchmarking and cross-validation."""
+    Two formulations split the shapes on a clean traffic model. `batched`
+    (native-dot-order batched per-head chains) touches the heads*d-wide
+    head-major tensor in 9 big passes; `batchedgram` applies the axial
+    kernels in CHANNEL space (the in_proj commutes past them) so its big
+    tensor is heads*c wide but only 5 passes touch it (and its first apply
+    is never MXU-starved). c-space wins iff 5*c < 9*d — exactly the
+    measured split (c=64/d=64 wins both shapes, c=128/d=64 loses both).
+    The other formulations are kept selectable via LNS_TPU_FAB_IMPL for
+    benchmarking and cross-validation."""
     import os
 
     forced = os.environ.get("LNS_TPU_FAB_IMPL", "auto")
     if forced != "auto":
         return forced
+    if 5 * dim < 9 * dim_head:
+        return "batchedgram"
     return "batched"
 
 
@@ -251,7 +260,7 @@ class FABlock2D(nn.Module):
         k_y = k_y.astype(u.dtype)
 
         h, w = u.shape[1], u.shape[2]
-        impl = _fab_impl_for(h * w, self.dim, self.heads * self.dim_head)
+        impl = _fab_impl_for(h * w, self.dim, self.dim_head)
         if impl == "batched":
             out = self._batched_core(u, k_x, k_y, w_in, w_o1)
         elif impl == "batchedgram":
