@@ -33,3 +33,36 @@ def enabled() -> bool:
     # a validated, golden-tested library for stacks where Pallas DMA runs
     # at full bandwidth.
     return False
+
+
+_rollout_override: Optional[bool] = None
+
+
+def set_rollout_enabled(value: Optional[bool]):
+    global _rollout_override
+    _rollout_override = value
+
+
+def rollout_enabled() -> bool:
+    """Gate for the fused latent-rollout kernel (prop_rollout.py) — the one
+    Pallas kernel that beats XLA on this stack, because the rollout scan is
+    kernel-LAUNCH-bound, not DMA-bound (the weakness `enabled()` documents
+    doesn't apply: weights are DMA'd into VMEM once and 29-78 sequential
+    steps run from VMEM). Measured: NS2d 29-step scan 2.1 -> 1.4 ms, SW
+    42-step 6.0 -> 3.7 ms; two-phase (zeros padding, 7x15 grid) LOSES
+    (3.6 -> 5.9 ms: 9 masked taps + tiny per-step compute), which is why
+    LatentDynamics additionally gates on padding mode.
+
+    Default ON when running on a single TPU device. Multi-device processes
+    default OFF: a pallas_call inside a pjit with sharded batch forces XLA
+    to replicate, so the XLA scan (which partitions cleanly) wins there.
+    Override with LNS_TPU_PALLAS_ROLLOUT=0/1 or `set_rollout_enabled()`.
+    """
+    if _rollout_override is not None:
+        return _rollout_override
+    env = os.environ.get("LNS_TPU_PALLAS_ROLLOUT")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    import jax
+
+    return jax.default_backend() == "tpu" and jax.device_count() == 1

@@ -155,3 +155,72 @@ def test_fablock_impl_gradient_parity(impl, monkeypatch):
         np.testing.assert_allclose(
             np.array(leaf), np.array(ref_leaf), atol=5e-4
         )
+
+
+# -- fused latent rollout (prop_rollout.py) ---------------------------------
+
+@pytest.mark.parametrize(
+    "pm,h,w,c_lat",
+    [("circular", 8, 8, 16), ("zeros", 7, 15, 64), ("half_periodic_x", 12, 24, 64)],
+)
+def test_fused_rollout_matches_scan(pm, h, w, c_lat):
+    from lns_tpu.models.propagator import SimpleCNN
+    from lns_tpu.pallas_kernels import prop_rollout as pr
+
+    nb, c, dil, steps, b = 2, 64, 2, 5, 2
+    model = SimpleCNN(latent_dim=c_lat, prop_n_block=nb, prop_n_embd=c,
+                      dilation=dil, padding_mode=pm, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z0 = jax.random.normal(key, (b, h, w, c_lat), jnp.float32)
+    vars_ = model.init(key, z0)
+
+    def step(carry, _):
+        zn = model.apply(vars_, carry)
+        return zn, zn
+
+    _, zs_ref = jax.lax.scan(step, z0, None, length=steps)
+    packed = pr.pack_simple_cnn_params(vars_["params"], nb, dtype=jnp.float32)
+    zs = pr.fused_rollout(z0, packed, steps=steps, n_block=nb, dilation=dil,
+                          padding_mode=pm, interpret=True)
+    scale = float(jnp.max(jnp.abs(zs_ref)))
+    np.testing.assert_allclose(np.array(zs), np.array(zs_ref),
+                               atol=2e-5 * scale)
+
+
+def test_fused_rollout_lane_padding_exact():
+    """The 128-lane zero-padding of the latent carry must be exact: padded
+    lanes of the packed projections are zero, so padded carry lanes stay 0."""
+    from lns_tpu.models.propagator import SimpleCNN
+    from lns_tpu.pallas_kernels import prop_rollout as pr
+
+    model = SimpleCNN(latent_dim=16, prop_n_block=1, prop_n_embd=32,
+                      dilation=1, padding_mode="circular", dtype=jnp.float32)
+    key = jax.random.PRNGKey(1)
+    z0 = jax.random.normal(key, (1, 8, 8, 16), jnp.float32)
+    vars_ = model.init(key, z0)
+    packed = pr.pack_simple_cnn_params(vars_["params"], 1, dtype=jnp.float32)
+    in_w, out_w, out_b = packed[0], packed[-2], packed[-1]
+    assert in_w.shape[0] == 128 and out_w.shape[1] == 128
+    assert float(jnp.abs(in_w[16:]).max()) == 0.0
+    assert float(jnp.abs(out_w[:, 16:]).max()) == 0.0
+    assert float(jnp.abs(out_b[:, 16:]).max()) == 0.0
+
+
+def test_predict_latents_pallas_gate():
+    """Gating: SimpleCNN+wrap padding is eligible; zeros / conditional are
+    not; the env/default policy is OFF on the CPU test backend."""
+    from lns_tpu.config import load_config
+    from lns_tpu.models.latent_dynamics import LatentDynamics
+    from lns_tpu.pallas_kernels import backend as plb
+
+    cfg = load_config("/root/reference/configs/ns2d_stage2_prop.yml")
+    ld = LatentDynamics(cfg)
+    assert ld._pallas_rollout_ok(use_pallas=True)
+    assert not ld._pallas_rollout_ok(use_pallas=False)
+    # default policy resolves False on the CPU backend
+    assert not ld._pallas_rollout_ok(use_pallas=None)
+    plb.set_rollout_enabled(True)
+    try:
+        assert ld._pallas_rollout_ok(use_pallas=None)
+    finally:
+        plb.set_rollout_enabled(None)
