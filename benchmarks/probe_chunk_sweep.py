@@ -29,6 +29,8 @@ def main():
                 (16, 116), (64, 116), (64, 232)]
     else:  # sw: 8x42 = 336 frames
         grid = [(8, None), (8, 42), (8, 84), (8, 168), (16, 84)]
+    if bool(args.batches) != bool(args.chunks):
+        p.error("--batches and --chunks must be given together")
     if args.batches and args.chunks:
         grid = [(b, None if c == "none" else int(c))
                 for b in args.batches for c in args.chunks]
@@ -40,7 +42,7 @@ def main():
         print(json.dumps(row), flush=True)
         results.append(row)
 
-    best = min(results, key=lambda r: r["rollout_ms"] / (r["batch"] * r["rollout_steps"]))
+    best = max(results, key=lambda r: r["frames_per_sec_per_chip"])
     print("BEST:", json.dumps(best), flush=True)
 
 

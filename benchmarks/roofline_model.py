@@ -193,9 +193,45 @@ def sw_decode(b=336):
     return L
 
 
+def twophase_decode(b=624):
+    """Two-phase decoder: latent [b,7,15,64] -> [b,61,121,4] (zeros pad).
+
+    Mirrors models/specs.py decoder_spec_nonsquared for the shipped
+    twophase_stage1_ae.yml. Per SURVEY section 2.10-8 the mid-decoder
+    attention never fires (attn_resolutions [15,30] vs height trace
+    7->7->14->28->61), so the hot path is pure conv/resblock: coarse SA at
+    7x15 (105 tokens), 4 resblocks @128, up->14x30, res 128->64,
+    up->28x60, res 64, exact-size nearest resize ->61x121, two conv3x3 @64,
+    GN+swish, 1x1 head to 4 channels. No FAB blocks -> the composite floor
+    equals this analytic bound (no measured-block substitution needed).
+    """
+    L = Ledger(f"twophase_decode[b={b}]")
+    # latent level (7x15 = 105 tokens, c=128): conv stem 64->128 +
+    # 4 resblocks + SA(105, heads 8, dim_head 64) — tiny spatial,
+    # aggregated like the other workloads' latent levels
+    zc = b * 105 * 128 * 2
+    L.op("latent_level(7x15)", 14 * zc, 14 * zc,
+         flops=2 * b * 105 * (9 * 64 * 128 + 8 * 9 * 128 * 128
+                              + 4 * 128 * 128 + 105 * 8 * 64 * 2),
+         m=105, k=128)
+    upconv2x(L, "up14x30", b, 7, 15, 128, 128)
+    resblock(L, "res14x30", b, 14, 30, 128, 64)
+    upconv2x(L, "up28x60", b, 14, 30, 64, 64)
+    resblock(L, "res28x60", b, 28, 60, 64, 64)
+    # exact-size nearest resize 28x60 -> 61x121 (pure relayout traffic)
+    L.op("resize61x121", b * 28 * 60 * 64 * 2, b * 61 * 121 * 64 * 2)
+    conv3x3(L, "head.conv1", b, 61, 121, 64, 64)
+    conv3x3(L, "head.conv2", b, 61, 121, 64, 64)
+    u = b * 61 * 121 * 64 * 2
+    L.op("head.gn+swish", 2 * u, u)
+    L.op("head.out_1x1", u, b * 61 * 121 * 4 * 2,
+         flops=2 * b * 61 * 121 * 64 * 4, m=61 * 121, k=64)
+    return L
+
+
 def main():
     out = {}
-    for build in (ns2d_decode, sw_decode):
+    for build in (ns2d_decode, sw_decode, twophase_decode):
         L = build()
         out[L.label] = L.report()
     with open(os.path.join(HERE, "results_roofline_model.json"), "w") as f:

@@ -89,7 +89,32 @@ def main():
         w_o2 = (jax.random.normal(ks[5], (c, c)) / c**0.5).astype(dtype)
         fargs = (u, kx, ky, w_in, w_o1, w_o2)
 
-        if args.what in ("decode", "sw_decode"):
+        if args.what in ("rollout", "sw_rollout", "twophase_rollout"):
+            # the actual benchmark program: encode -> scan -> chunked decode
+            from benchmarks.run_benchmarks import (DEFAULT_DECODE_CHUNK,
+                                                   WORKLOADS)
+            from lns_tpu.models import LatentDynamics
+
+            wname = {"rollout": "ns2d", "sw_rollout": "sw",
+                     "twophase_rollout": "twophase"}[args.what]
+            cfg_fn, shape, steps, batch = WORKLOADS[wname]
+            chunk = DEFAULT_DECODE_CHUNK.get(wname)
+            model = LatentDynamics(cfg_fn(), dtype=dtype, ae_dtype=dtype)
+            x = jax.random.normal(jax.random.PRNGKey(1), (batch,) + shape,
+                                  jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), x.shape)["params"]
+
+            @jax.jit
+            def run(x):
+                return model.predict(params, x, steps=steps, to_x=True,
+                                     decode_chunk=chunk)
+
+            np.asarray(run(x)[0, 0, 0, 0, 0])
+            with jax.profiler.trace(args.logdir):
+                for _ in range(args.reps):
+                    y = run(x)
+                np.asarray(y[0, 0, 0, 0, 0])
+        elif args.what in ("decode", "sw_decode"):
             from lns_tpu.models.autoencoder import SimpleAutoencoder
 
             if args.what == "sw_decode":

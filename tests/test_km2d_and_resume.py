@@ -56,6 +56,7 @@ def test_stage2_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_stage2_true_resume_continues_from_epoch(tmp_path):
     """A run killed at epoch k and resumed finishes with exactly cfg.epochs
     total epochs, bit-identical params to an uninterrupted run, and a
@@ -101,6 +102,7 @@ def test_stage2_true_resume_continues_from_epoch(tmp_path):
     assert full_count == res_count == steps_per_epoch * 3
 
 
+@pytest.mark.slow
 def test_stage1_true_resume_continues_from_epoch(tmp_path):
     import jax
 
@@ -123,6 +125,7 @@ def test_stage1_true_resume_continues_from_epoch(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_stage2_resume_with_noise_is_bit_identical(tmp_path):
     """With noise_level > 0 the resumed run must replay the identical noise
     stream: per-step keys are a pure function of (seed, epoch, step)

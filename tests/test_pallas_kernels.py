@@ -106,7 +106,9 @@ def test_fablock_perhead_path_matches_headmajor_math():
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["perhead", "gram", "batched", "batchedgram"])
+@pytest.mark.parametrize("impl", [
+    pytest.param("perhead", marks=pytest.mark.slow),  # 8x compile (python head loop)
+    "gram", "batched", "batchedgram"])
 @pytest.mark.parametrize("hw", [(16, 16), (40, 28), (28, 40)])
 def test_fablock_impl_equivalence(impl, hw, monkeypatch):
     """Every FABlock2D formulation (round-3 shape dispatch: perhead at
@@ -127,7 +129,9 @@ def test_fablock_impl_equivalence(impl, hw, monkeypatch):
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=3e-4)
 
 
-@pytest.mark.parametrize("impl", ["perhead", "gram", "batched", "batchedgram"])
+@pytest.mark.parametrize("impl", [
+    pytest.param("perhead", marks=pytest.mark.slow),  # 8x compile (python head loop)
+    "gram", "batched", "batchedgram"])
 def test_fablock_impl_gradient_parity(impl, monkeypatch):
     """The formulation dispatch also runs under jax.grad (stage-1 AE
     training backprops through decoder FABlock2Ds), so every core's VJP
