@@ -496,6 +496,107 @@ def blkK2(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
     return out.transpose(0, 2, 1, 3) + u
 
 
+def _gram_stats(u, kx, ky, B, w_in, w_o1, eps, barrier=False):
+    """Shared blkK statistics/folding tail: IN stats of the never-
+    materialized phi = B @ Win from B's Gram matrix, folded projection
+    matrix M and bias. B spatial dims may be in either order (Gram is
+    insensitive). With `barrier`, one Gram operand goes through
+    lax.optimization_barrier so XLA cannot pattern-match the self-product
+    into a VPU multiply+reduce fusion (xplane at decode scale: that fusion
+    costs ~5.2 ms/rollout vs an MXU dot's bandwidth floor)."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    N = h * w
+    kx_s = jnp.sum(kx, axis=2, dtype=jnp.float32)   # [b, n, h]
+    ky_s = jnp.sum(ky, axis=2, dtype=jnp.float32)   # [b, n, w]
+    mean_c = jnp.einsum("bnh,bnw,bhwc->bnc", kx_s, ky_s,
+                        u.astype(jnp.float32)) / N              # [b, n, c]
+    B2 = jax.lax.optimization_barrier(B) if barrier else B
+    G = jnp.einsum("bnxyc,bnxye->bnce", B, B2,
+                   preferred_element_type=jnp.float32)          # [b,n,c,c]
+    wf = w_in.astype(jnp.float32)                                # [c, n, d]
+    mean = jnp.einsum("bnc,cnd->bnd", mean_c, wf)                # [b, n, d]
+    ex2 = jnp.einsum("cnd,bnce,end->bnd", wf, G / N, wf)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                               # [b, n, d]
+    w1f = w_o1.astype(jnp.float32)                               # [n, d, o]
+    M = jnp.einsum("cnd,bnd,ndo->bnco", wf, inv, w1f).astype(B.dtype)
+    bias = jnp.einsum("bnd,ndo->bo", mean * inv, w1f).astype(B.dtype)
+    return M, bias
+
+
+def blkL1(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkK + Gram forced onto the MXU (optimization_barrier on one
+    operand). Everything else identical to blkK."""
+    A = jnp.einsum("bnlw,bhwc->bnlhc", ky, u)
+    B = jnp.einsum("bnih,bnlhc->bnilc", kx, A)
+    M, bias = _gram_stats(u, kx, ky, B, w_in, w_o1, eps, barrier=True)
+    out = jnp.einsum("bnilc,bnco->bilo", B, M) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("bilo,oc->bilc", out, w_o2)
+    return out + u
+
+
+def blkL2(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkK with the first apply's output written directly in the layout
+    the second apply consumes ("bnhlc" instead of native "bnlhc") — the
+    h<->l relayout copy (~5.9 ms/rollout in the chunked program) moves
+    into the first dot's epilogue, where it may fold for free."""
+    A = jnp.einsum("bnlw,bhwc->bnhlc", ky, u)
+    B = jnp.einsum("bnih,bnhlc->bnilc", kx, A)
+    M, bias = _gram_stats(u, kx, ky, B, w_in, w_o1, eps)
+    out = jnp.einsum("bnilc,bnco->bilo", B, M) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("bilo,oc->bilc", out, w_o2)
+    return out + u
+
+
+def blkL3(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkK with the SECOND apply batched over (b, n, i): the row kernel
+    runs first (batch b only, never starved), then the col kernel is
+    broadcast over the row-output axis i so the second dot's rhs slices
+    [w, c] are walked contraction-major exactly as the first dot wrote
+    them — no relayout copy exists anywhere. Costs: the broadcast col
+    kernel materializes [b, n, h, w, w] (small vs the 5D value tensor)
+    and each batched dot is an M=K=w starved tile (the trade measured
+    ~2.2x BW floor elsewhere; here it replaces a ~2x-pass copy)."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    A = jnp.einsum("bnih,bhwc->bniwc", kx, u)       # native (b,n,i,w,c)
+    kyb = jnp.broadcast_to(ky[:, :, None], (b, n, h, w, w))  # [b,n,i,l,w]
+    B = jnp.einsum("bnilw,bniwc->bnilc", kyb, A)    # batch (b,n,i)
+    M, bias = _gram_stats(u, kx, ky, B, w_in, w_o1, eps)
+    out = jnp.einsum("bnilc,bnco->bilo", B, M) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("bilo,oc->bilc", out, w_o2)
+    return out + u
+
+
+def blkL4(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkL2 + blkL1 (epilogue-folded relayout + MXU Gram)."""
+    A = jnp.einsum("bnlw,bhwc->bnhlc", ky, u)
+    B = jnp.einsum("bnih,bnhlc->bnilc", kx, A)
+    M, bias = _gram_stats(u, kx, ky, B, w_in, w_o1, eps, barrier=True)
+    out = jnp.einsum("bnilc,bnco->bilo", B, M) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("bilo,oc->bilc", out, w_o2)
+    return out + u
+
+
+def blkL5(u, kx, ky, w_in, w_o1, w_o2, eps=1e-5):
+    """blkL3 + blkL1 (copy-free applies + MXU Gram)."""
+    b, h, w, c = u.shape
+    cc, n, d = w_in.shape
+    A = jnp.einsum("bnih,bhwc->bniwc", kx, u)
+    kyb = jnp.broadcast_to(ky[:, :, None], (b, n, h, w, w))
+    B = jnp.einsum("bnilw,bniwc->bnilc", kyb, A)
+    M, bias = _gram_stats(u, kx, ky, B, w_in, w_o1, eps, barrier=True)
+    out = jnp.einsum("bnilc,bnco->bilo", B, M) - bias[:, None, None, :]
+    out = gelu(out)
+    out = jnp.einsum("bilo,oc->bilc", out, w_o2)
+    return out + u
+
+
 def make_blkJ(group: int):
     """blkG with the ROW apply group-blockdiagonal (round 3, VERDICT lever
     1a re-run on the native-order batched formulation): the row dot's
@@ -581,7 +682,8 @@ def bench(b, h, w, c, heads, d, dtype=jnp.bfloat16, aot_only=False):
     _all = {"blkA": blkA, "blkB": blkB, "blkC": blkC, "blkD": blkD,
             "blkE2": make_blkE(2), "blkE4": make_blkE(4), "blkF": blkF,
             "blkG": blkG, "blkH": blkH, "blkI": blkI, "blkK": blkK,
-            "blkK2": blkK2, "blkQ": blkQ,
+            "blkK2": blkK2, "blkQ": blkQ, "blkL1": blkL1, "blkL2": blkL2,
+            "blkL3": blkL3, "blkL4": blkL4, "blkL5": blkL5,
             "blkJ2": make_blkJ(2), "blkJ4": make_blkJ(4),
             "blkJ8": make_blkJ(8)}
     if aot_only:

@@ -140,7 +140,8 @@ class LatentDynamics:
             else use_pallas
 
     def predict_latents(self, params, x, steps: int, cond=None,
-                        unroll: int = 8, use_pallas: Optional[bool] = None):
+                        unroll: int = 8, use_pallas: Optional[bool] = None,
+                        pallas_interpret: bool = False):
         """Encode once, roll the propagator `steps` times; returns
         [b, steps, h, w, c] latents.
 
@@ -167,7 +168,8 @@ class LatentDynamics:
                 z0, packed, steps=steps,
                 n_block=self.propagator.prop_n_block,
                 dilation=self.propagator.dilation,
-                padding_mode=self.propagator.padding_mode)
+                padding_mode=self.propagator.padding_mode,
+                interpret=pallas_interpret)
             return jnp.moveaxis(zs, 0, 1)
 
         def step(carry, _):
@@ -180,7 +182,8 @@ class LatentDynamics:
 
     def predict(self, params, x, steps: int, cond=None, to_x: bool = True,
                 decode_chunk: Optional[int] = None,
-                use_pallas: Optional[bool] = None):
+                use_pallas: Optional[bool] = None,
+                pallas_interpret: bool = False):
         """Full fused rollout: encode -> scan -> batched decode.
 
         Mathematically identical to the reference's decode-every-step loop
@@ -189,7 +192,8 @@ class LatentDynamics:
         for the MXU instead of `steps` tiny launches.
         """
         zs = self.predict_latents(params, x, steps, cond,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas,
+                                  pallas_interpret=pallas_interpret)
         if not to_x:
             return zs
         b, t = zs.shape[:2]

@@ -348,20 +348,31 @@ class FABlock2D(nn.Module):
         second to lift that dot's MXU tile occupancy (48x96: M=K=96 at
         0.56 utilization instead of 48 at 0.14); the w-second order costs
         one full-size [b, w, h, o] -> [b, h, w, o] transpose at the end
-        (its dot's native order leads with l)."""
+        (its dot's native order leads with l).
+
+        First-apply output order (probe blkL2, round 4): the first apply's
+        output is written with the CONTRACTED-NEXT axis major (e.g.
+        "bnhlc" instead of the native "bnlhc") so the second dot walks its
+        rhs contraction-major directly — the h<->l relayout copy XLA
+        otherwise inserts between the applies (~5.9 ms/rollout in the
+        chunked NS2d decode, xplane fusion.1945) folds into the first
+        dot's output epilogue (116,32,32,64 chunk: 2.46 -> 2.09 ms/block,
+        -15%)."""
         b, h, w, c = u.shape
         heads = k_x.shape[1]
         n_px = h * w
         if w > h:
-            # row apply first (batch b only, contract h), col apply second
-            a = jnp.einsum("bnih,bhwc->bniwc", k_x, u)
-            bb = jnp.einsum("bnlw,bniwc->bnlic", k_y, a)
+            # row apply first (batch b only, contract h), col apply second;
+            # output written w-major so the col dot consumes it natively
+            a = jnp.einsum("bnih,bhwc->bnwic", k_x, u)
+            bb = jnp.einsum("bnlw,bnwic->bnlic", k_y, a)
             spatial = "li"  # bb spatial index order: (w-index, h-index)
         else:
-            # col apply in c-space; batch b ONLY -> lhs free (n,l), contract w
-            a = jnp.einsum("bnlw,bhwc->bnlhc", k_y, u)
+            # col apply in c-space; batch b ONLY, contract w; output
+            # written h-major so the row dot consumes it natively (blkL2)
+            a = jnp.einsum("bnlw,bhwc->bnhlc", k_y, u)
             # row apply; batch (b, n), contract h; native out (b,n,i,l,c)
-            bb = jnp.einsum("bnih,bnlhc->bnilc", k_x, a)
+            bb = jnp.einsum("bnih,bnhlc->bnilc", k_x, a)
             spatial = "il"
         # stats of phi = bb @ w_in without materializing phi
         kx_s = jnp.sum(k_x, axis=2, dtype=jnp.float32)  # [b, n, h]

@@ -148,6 +148,38 @@ def test_latent_dynamics_rollout_parity():
     )
 
 
+def test_latent_dynamics_predict_pallas_golden():
+    """The FULL fused `predict()` with the Pallas rollout path FORCED
+    (interpret mode off-TPU) and the chunked batched decode, vs the
+    executed reference's decode-in-loop predict
+    (train_stage2_ns2d.py:143-158) — closes the benchmark path against the
+    reference directly rather than transitively via
+    test_fused_rollout_matches_scan."""
+    torch.manual_seed(0)
+    t = REF.trainers["train_stage2_ns2d"]
+    raw = yaml.safe_load(open(f"{CFG_DIR}/ns2d_stage2_prop.yml"))
+    raw.setdefault("use_attn_enc", None)
+    ns = reference_namespace(raw)
+    tmodel = t.LatentDynamics(ns).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    cfg = load_config(f"{CFG_DIR}/ns2d_stage2_prop.yml")
+    jmodel = LatentDynamics(cfg)
+    params = to_jax(convert_latent_dynamics(cfg, sd))
+
+    x = torch.randn(2, 1, 64, 64)
+    steps = 5
+    with torch.no_grad():
+        yt = tmodel.predict(x, steps, to_x=True)  # [b, t, c, h, w]
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    yj = jmodel.predict({"params": params}, xj, steps, to_x=True,
+                        decode_chunk=4, use_pallas=True,
+                        pallas_interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(
+        np.array(yj), yt.numpy().transpose(0, 1, 3, 4, 2), atol=5e-4
+    )
+
+
 def test_latent_dynamics_training_loss_parity():
     """Rollout training loss (scan + smooth-L1) vs reference forward()."""
     torch.manual_seed(0)
