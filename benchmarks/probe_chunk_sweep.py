@@ -20,9 +20,15 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="ns2d")
-    p.add_argument("--batches", type=int, nargs="*", default=None)
+    p.add_argument("--batches", type=str, nargs="*", default=None)
     p.add_argument("--chunks", type=str, nargs="*", default=None)
     args = p.parse_args()
+    # accept both space- and comma-separated lists
+    if args.batches:
+        args.batches = [int(b) for tok in args.batches
+                        for b in tok.split(",") if b]
+    if args.chunks:
+        args.chunks = [c for tok in args.chunks for c in tok.split(",") if c]
 
     if args.workload == "ns2d":
         grid = [(32, 58), (32, 116), (32, 232), (32, 464),

@@ -117,13 +117,15 @@ DEFAULT_DECODE_CHUNK = {"ns2d": 116}
 
 
 def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None,
-                   decode_chunk="auto"):
+                   decode_chunk="auto", decode_unroll=None):
     from lns_tpu.models import LatentDynamics
 
     cfg_fn, shape, steps, default_batch = WORKLOADS[name]
     batch = batch or default_batch
     if decode_chunk == "auto":
         decode_chunk = DEFAULT_DECODE_CHUNK.get(name)
+    if decode_unroll is None:
+        decode_unroll = os.environ.get("LNS_BENCH_DECODE_UNROLL") == "1"
     cfg = cfg_fn()
     model = LatentDynamics(cfg, dtype=dtype, ae_dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch,) + shape, jnp.float32)
@@ -133,7 +135,8 @@ def bench_workload(name, dtype=jnp.bfloat16, reps=8, batch=None,
     def rollout_chain(params, x, n):
         def body(i, carry):
             y = model.predict(params, carry, steps=steps, to_x=True,
-                              decode_chunk=decode_chunk)
+                              decode_chunk=decode_chunk,
+                              decode_unroll=decode_unroll)
             return carry + 1e-6 * y[:, -1]
 
         return jax.lax.fori_loop(0, n, body, x)[0, 0, 0, 0]
@@ -284,9 +287,64 @@ def batch_sweep(workloads, batches=(8, 16, 32, 64, 128, 256)):
     return results
 
 
+BASELINE_MD = os.path.join(os.path.dirname(HERE), "BASELINE.md")
+A100_EST_FPS = 5000.0  # analytic A100 estimate, BASELINE.md "A100 estimate"
+TABLE_BEGIN = "<!-- BEGIN measured-results (emitted by run_benchmarks.py --emit-baseline-table) -->"
+TABLE_END = "<!-- END measured-results -->"
+
+WORKLOAD_LABELS = {
+    "ns2d": "NS2d 64x64x1 (8x8x16 latent)",
+    "twophase": "Two-phase 61x121x4 (7x15x64 latent)",
+    "sw": "Shallow water 96x192x3 (12x24x64 latent)",
+}
+
+
+def emit_baseline_table():
+    """Regenerate BASELINE.md's measured-results block from the committed
+    results_*.json files (VERDICT r3 item 4: the scoreboard must never
+    drift from the measurements again)."""
+    rows = []
+    for name in ("ns2d", "twophase", "sw"):
+        path = os.path.join(HERE, f"results_{name}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            r = json.load(f)[name]
+        vs = (f"{r['frames_per_sec_per_chip'] / A100_EST_FPS:.2f}x"
+              if name == "ns2d" else "—")
+        chunk = r.get("decode_chunk")
+        extra = f" (chunk {chunk})" if chunk else ""
+        rows.append(
+            f"| {WORKLOAD_LABELS[name]} | {r['rollout_steps']} steps | "
+            f"{r['batch']} | {r['rollout_ms']} ms{extra} | "
+            f"**{r['frames_per_sec_per_chip']:,.0f}** | {vs} |")
+    block = "\n".join([
+        TABLE_BEGIN,
+        "",
+        "| workload | rollout | batch | fused rollout | frames/s/chip | vs A100 est. |",
+        "|---|---|---|---|---|---|",
+        *rows,
+        "",
+        TABLE_END,
+    ])
+    with open(BASELINE_MD) as f:
+        text = f.read()
+    if TABLE_BEGIN not in text or TABLE_END not in text:
+        print(f"sentinels not found in {BASELINE_MD}; printing block:\n{block}")
+        return
+    pre = text.split(TABLE_BEGIN)[0]
+    post = text.split(TABLE_END)[1]
+    with open(BASELINE_MD, "w") as f:
+        f.write(pre + block + post)
+    print(f"BASELINE.md measured-results block regenerated from results_*.json")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
+    p.add_argument("--emit-baseline-table", action="store_true",
+                   help="regenerate BASELINE.md's measured table from the "
+                        "committed results_*.json files and exit")
     p.add_argument("--workloads", default="ns2d,sw,twophase")
     p.add_argument("--train-steps", action="store_true", help="also bench train steps")
     p.add_argument("--stage1", action="store_true", help="also bench stage-1 AE train steps")
@@ -297,6 +355,10 @@ def main():
                    help="chunk the fused rollout's batched decode "
                         "(lax.map over (batch*steps)//chunk sub-batches)")
     args = p.parse_args()
+
+    if args.emit_baseline_table:
+        emit_baseline_table()
+        return
 
     if args.batch_sweep:
         batch_sweep(args.workloads.split(","),

@@ -183,13 +183,19 @@ class LatentDynamics:
     def predict(self, params, x, steps: int, cond=None, to_x: bool = True,
                 decode_chunk: Optional[int] = None,
                 use_pallas: Optional[bool] = None,
-                pallas_interpret: bool = False):
+                pallas_interpret: bool = False,
+                decode_unroll: bool = False):
         """Full fused rollout: encode -> scan -> batched decode.
 
         Mathematically identical to the reference's decode-every-step loop
         (train_stage2_ns2d.py:143-158) but the decode runs over the flattened
         (batch*steps) axis in one (or a few chunked) passes — large batches
         for the MXU instead of `steps` tiny launches.
+
+        `decode_unroll` replaces the chunk `lax.map` with a Python loop over
+        chunks: XLA schedules across chunk boundaries (no while-loop
+        barrier/bookkeeping between chunks) at the cost of a program that
+        is n_chunks x larger to compile.
         """
         zs = self.predict_latents(params, x, steps, cond,
                                   use_pallas=use_pallas,
@@ -205,6 +211,11 @@ class LatentDynamics:
             pad = (-n) % decode_chunk
             zpad = jnp.pad(zflat, [(0, pad)] + [(0, 0)] * (zflat.ndim - 1))
             chunks = zpad.reshape((-1, decode_chunk) + zflat.shape[1:])
-            yflat = lax.map(lambda c: self.decode(params, c), chunks)
-            yflat = yflat.reshape((-1,) + yflat.shape[2:])[:n]
+            if decode_unroll:
+                yflat = jnp.concatenate(
+                    [self.decode(params, chunks[i])
+                     for i in range(chunks.shape[0])], axis=0)[:n]
+            else:
+                yflat = lax.map(lambda c: self.decode(params, c), chunks)
+                yflat = yflat.reshape((-1,) + yflat.shape[2:])[:n]
         return yflat.reshape((b, t) + yflat.shape[1:])

@@ -381,9 +381,19 @@ class FABlock2D(nn.Module):
             jnp.einsum("bnh,bnw,bhwc->bnc", kx_s, ky_s, u.astype(jnp.float32))
             / n_px
         )
-        # Gram over BOTH spatial dims — insensitive to bb's spatial order
+        # Gram over BOTH spatial dims — insensitive to bb's spatial order.
+        # LNS_TPU_FAB_GRAM_BARRIER=1 routes one operand through an
+        # optimization barrier so XLA cannot pattern-match the self-product
+        # into a VPU multiply+reduce fusion (in the chunked NS2d decode that
+        # fusion profiles at ~5.2 ms/rollout; an MXU dot reads the same
+        # bytes at the bandwidth floor).
+        import os as _os
+
+        bb2 = bb
+        if _os.environ.get("LNS_TPU_FAB_GRAM_BARRIER") == "1":
+            bb2 = jax.lax.optimization_barrier(bb)
         g = jnp.einsum(
-            "bnilc,bnile->bnce", bb, bb, preferred_element_type=jnp.float32
+            "bnilc,bnile->bnce", bb, bb2, preferred_element_type=jnp.float32
         )
         wf = w_in.astype(jnp.float32)  # [c, n, d]
         mean = jnp.einsum("bnc,cnd->bnd", mean_c, wf)  # [b, n, d]

@@ -33,6 +33,7 @@ def test_km2d_datasets(tmp_path):
     assert z_in.shape == (3, 1, 8, 8, 1) and z_out.shape == (3, 2, 8, 8, 1)
 
 
+@pytest.mark.slow  # two full Stage2Trainer builds: ~35 s of compile
 def test_stage2_resume(tmp_path):
     from lns_tpu.data.synthetic import synthetic_config
     from lns_tpu.train import Stage1Trainer, Stage2Trainer
@@ -207,6 +208,7 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # full SW-variant Stage2Trainer + validate: ~45 s
 def test_stage2_per_channel_validation(tmp_path):
     """Multi-channel stage-2 validate emits per-channel sequence-wise losses
     + per-channel sample/gt grids (reference train_stage2_SW.py:264-287)."""

@@ -60,6 +60,7 @@ def test_headmajor_pallas_kernel_matches_xla():
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=5e-5)
 
 
+@pytest.mark.slow  # looped per-head core: 8x compile, ~40 s on the quick tier
 def test_fablock_perhead_path_matches_headmajor_math():
     """FABlock2D dispatches to per-head chains for h*w > 1024; its output
     must equal the head-major formulation run with the same params."""
@@ -108,7 +109,8 @@ def test_fablock_perhead_path_matches_headmajor_math():
 
 @pytest.mark.parametrize("impl", [
     pytest.param("perhead", marks=pytest.mark.slow),  # 8x compile (python head loop)
-    "gram", "batched", "batchedgram"])
+    pytest.param("gram", marks=pytest.mark.slow),  # 8x compile (python head loop)
+    "batched", "batchedgram"])
 @pytest.mark.parametrize("hw", [(16, 16), (40, 28), (28, 40)])
 def test_fablock_impl_equivalence(impl, hw, monkeypatch):
     """Every FABlock2D formulation (round-3 shape dispatch: perhead at
@@ -131,7 +133,8 @@ def test_fablock_impl_equivalence(impl, hw, monkeypatch):
 
 @pytest.mark.parametrize("impl", [
     pytest.param("perhead", marks=pytest.mark.slow),  # 8x compile (python head loop)
-    "gram", "batched", "batchedgram"])
+    pytest.param("gram", marks=pytest.mark.slow),  # 8x compile (python head loop)
+    "batched", "batchedgram"])
 def test_fablock_impl_gradient_parity(impl, monkeypatch):
     """The formulation dispatch also runs under jax.grad (stage-1 AE
     training backprops through decoder FABlock2Ds), so every core's VJP
