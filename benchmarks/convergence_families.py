@@ -217,49 +217,17 @@ def conditioning_control(trainer):
     return errs
 
 
-def run_family(workload, workdir, args, results):
-    from lns_tpu.train import Stage1Trainer, Stage2Trainer
+def _rss_gb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return round(int(line.split()[1]) / 1e6, 2)
+    return None
 
-    build, cfg1, cfg2 = make_cfgs(workload, workdir, args)
-    print(f"==== {workload}: corpus", flush=True)
-    t0 = time.time()
-    build()
-    rec = {"corpus_minutes": round((time.time() - t0) / 60, 1)}
 
-    if not args.skip_stage1:
-        print(f"==== {workload}: stage 1 ({cfg1.epochs} epochs, bf16 mixed)",
-              flush=True)
-        t0 = time.time()
-        t1 = Stage1Trainer(cfg1, use_wandb=False)
-        t1.train()
-        rec["stage1_minutes"] = round((time.time() - t0) / 60, 1)
-    curve1 = read_curve(cfg1.log_dir, "val_recon_loss")
-    rec["stage1_val_recon_curve"] = [round(v, 5) for v in curve1]
-    rec["stage1_final_recon_rel_l2"] = curve1[-1] if curve1 else None
-
-    print(f"==== {workload}: stage 2 ({cfg2.epochs} epochs, rollout BPTT)",
-          flush=True)
-    t0 = time.time()
-    t2 = Stage2Trainer(cfg2, use_wandb=False)
-    rec["persistence_seq_rel_l2"] = round(
-        persistence_baseline(t2.val_ds, t2.conditional), 5)
-    t2.train()
-    rec["stage2_minutes"] = round((time.time() - t0) / 60, 1)
-    curve2 = read_curve(cfg2.log_dir, "val_seq_rel_l2")
-    rec["stage2_val_seq_curve"] = [round(v, 5) for v in curve2]
-    rec["stage2_final_seq_rel_l2"] = curve2[-1] if curve2 else None
-    rec["beats_persistence"] = bool(
-        curve2 and curve2[-1] < rec["persistence_seq_rel_l2"])
-
-    if workload == "twophase_conditional":
-        ctl = conditioning_control(t2)
-        rec["rollout_rel_l2_true_cond"] = round(ctl["true"], 5)
-        rec["rollout_rel_l2_shuffled_cond"] = round(ctl["shuffled"], 5)
-        rec["conditioning_learned"] = bool(ctl["true"] < 0.8 * ctl["shuffled"])
-
-    results[workload] = rec
+def _write_merged(results):
     out = os.path.join(HERE, "results_convergence_families.json")
-    # merge-preserve earlier families across invocations
+    # merge-preserve earlier families across invocations / partial writes
     merged = {}
     if os.path.exists(out):
         with open(out) as f:
@@ -267,6 +235,69 @@ def run_family(workload, workdir, args, results):
     merged.update(results)
     with open(out, "w") as f:
         json.dump(merged, f, indent=2)
+    return out
+
+
+def run_family(workload, workdir, args, results):
+    from lns_tpu.train import Stage1Trainer, Stage2Trainer
+
+    build, cfg1, cfg2 = make_cfgs(workload, workdir, args)
+    s2_ckpt = os.path.join(cfg2.log_dir, "checkpoints", "model_final.msgpack")
+    finalize = args.finalize and os.path.exists(s2_ckpt)
+
+    print(f"==== {workload}: corpus", flush=True)
+    t0 = time.time()
+    build()
+    rec = {"corpus_minutes": round((time.time() - t0) / 60, 1)}
+
+    if not args.skip_stage1 and not finalize:
+        print(f"==== {workload}: stage 1 ({cfg1.epochs} epochs, bf16 mixed)",
+              flush=True)
+        t0 = time.time()
+        t1 = Stage1Trainer(cfg1, use_wandb=False)
+        t1.train()
+        rec["stage1_minutes"] = round((time.time() - t0) / 60, 1)
+        del t1
+    curve1 = read_curve(cfg1.log_dir, "val_recon_loss")
+    rec["stage1_val_recon_curve"] = [round(v, 5) for v in curve1]
+    rec["stage1_final_recon_rel_l2"] = curve1[-1] if curve1 else None
+    results[workload] = rec
+    _write_merged(results)  # partial write: stage-1 evidence survives a crash
+    print(f"[rss after stage 1: {_rss_gb()} GB]", flush=True)
+
+    if finalize:
+        print(f"==== {workload}: stage 2 finalize from {s2_ckpt}", flush=True)
+        t2 = Stage2Trainer(cfg2, use_wandb=False, prepare_dirs=False)
+        t2.load(s2_ckpt)
+    else:
+        print(f"==== {workload}: stage 2 ({cfg2.epochs} epochs, rollout BPTT)",
+              flush=True)
+        t0 = time.time()
+        t2 = Stage2Trainer(cfg2, use_wandb=False)
+        rec["persistence_seq_rel_l2"] = round(
+            persistence_baseline(t2.val_ds, t2.conditional), 5)
+        _write_merged(results)
+        t2.train()
+        rec["stage2_minutes"] = round((time.time() - t0) / 60, 1)
+    print(f"[rss after stage 2: {_rss_gb()} GB]", flush=True)
+    if "persistence_seq_rel_l2" not in rec:
+        rec["persistence_seq_rel_l2"] = round(
+            persistence_baseline(t2.val_ds, t2.conditional), 5)
+    curve2 = read_curve(cfg2.log_dir, "val_seq_rel_l2")
+    rec["stage2_val_seq_curve"] = [round(v, 5) for v in curve2]
+    rec["stage2_final_seq_rel_l2"] = curve2[-1] if curve2 else None
+    rec["beats_persistence"] = bool(
+        curve2 and curve2[-1] < rec["persistence_seq_rel_l2"])
+    _write_merged(results)
+
+    if workload == "twophase_conditional":
+        ctl = conditioning_control(t2)
+        rec["rollout_rel_l2_true_cond"] = round(ctl["true"], 5)
+        rec["rollout_rel_l2_shuffled_cond"] = round(ctl["shuffled"], 5)
+        rec["conditioning_learned"] = bool(ctl["true"] < 0.8 * ctl["shuffled"])
+    print(f"[rss after metrics: {_rss_gb()} GB]", flush=True)
+
+    out = _write_merged(results)
     print(json.dumps(rec, indent=2), flush=True)
     print(f"-> {out}", flush=True)
 
@@ -284,6 +315,10 @@ def main():
     p.add_argument("--ckpt-every", type=int, default=25)
     p.add_argument("--skip-stage1", action="store_true",
                    help="reuse existing stage-1 checkpoints in workdir")
+    p.add_argument("--finalize", action="store_true",
+                   help="skip training when stage-2 model_final exists in "
+                        "workdir; recompute the metrics record from the "
+                        "checkpoints (crash/OOM recovery)")
     args = p.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 

@@ -1,4 +1,4 @@
-"""Per-segment timing of the NS2d benchmark decode (928 frames, bf16).
+"""Per-segment timing of a workload's benchmark decode (bf16 by default).
 
 Times cumulative prefixes of the decoder layer stack with the chained
 fori_loop difference protocol (utils/profiling.py rationale: the axon
@@ -6,7 +6,7 @@ tunnel's block_until_ready doesn't block, so RTT must cancel), then prints
 the per-segment deltas. Segments group the decoder spec into its logical
 stages so compile count stays small.
 
-Usage: python benchmarks/profile_decode.py [--batch 928] [--f32]
+Usage: python benchmarks/profile_decode.py [--workload sw] [--batch N] [--f32]
 """
 
 import argparse
@@ -24,47 +24,66 @@ jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
-from __graft_entry__ import _ns2d_cfg
-
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=928)
+    ap.add_argument("--workload", default="ns2d",
+                    choices=["ns2d", "sw", "twophase"])
+    ap.add_argument("--batch", type=int, default=None,
+                    help="decode frames (default: the workload's benchmark "
+                         "batch*steps: ns2d 928, sw 336, twophase 624)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
+    from benchmarks.run_benchmarks import WORKLOADS
     from lns_tpu.models.autoencoder import SimpleAutoencoder
     from lns_tpu.models.specs import decoder_spec
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    cfg = _ns2d_cfg()
+    cfg_fn, shape, steps, bench_batch = WORKLOADS[args.workload]
+    cfg = cfg_fn()
+    batch = args.batch or bench_batch * steps
     ae = SimpleAutoencoder(cfg, dtype=dtype)
-    z = jax.random.normal(jax.random.PRNGKey(0), (args.batch, 8, 8, 16), jnp.float32)
-    variables = ae.init(jax.random.PRNGKey(1), jnp.zeros((2, 64, 64, 1)))
+    variables = ae.init(jax.random.PRNGKey(1), jnp.zeros((2,) + shape))
     params = variables["params"]
+    # latent grid shape via eval_shape (twophase's 7x15 comes from the
+    # asymmetric (0,1)-pad downsample arithmetic, not a resolution ratio)
+    zshape = jax.eval_shape(
+        lambda x: ae.apply(variables, x, method=SimpleAutoencoder.encode),
+        jax.ShapeDtypeStruct((1,) + shape, jnp.float32)).shape
+    z = jax.random.normal(jax.random.PRNGKey(0),
+                          (batch,) + zshape[1:], jnp.float32)
 
     specs = list(decoder_spec(cfg))
-    names = [s.name for s in specs]
-    # segment boundaries: index AFTER which we cut (prefix includes spec[:k])
-    segments = [
-        ("post_quant+8x8 (m0-m5 incl SA)", 6),
-        ("up->16 + res (m6-m7)", 8),
-        ("FAB@16 (m8)", 9),
-        ("up->32 + res (m9-m10)", 11),
-        ("FAB@32 (m11)", 12),
-        ("resize->64 + conv3x3 (m12-m13)", 14),
-        ("tail 1x1+GN+swish+1x1 (m14-m17)", len(specs)),
-    ]
+    if args.workload == "ns2d":
+        # hand-grouped segments (kept from the round-3 profiles)
+        segments = [
+            ("post_quant+8x8 (m0-m5 incl SA)", 6),
+            ("up->16 + res (m6-m7)", 8),
+            ("FAB@16 (m8)", 9),
+            ("up->32 + res (m9-m10)", 11),
+            ("FAB@32 (m11)", 12),
+            ("resize->64 + conv3x3 (m12-m13)", 14),
+            ("tail 1x1+GN+swish+1x1 (m14-m17)", len(specs)),
+        ]
+    else:
+        # generic segments: cut after every attention / upsample / resize
+        # boundary so each segment groups one resolution stage
+        segments = []
+        for k, s in enumerate(specs):
+            if s.kind in ("fablock", "sablock", "hp_up", "up", "resize"):
+                label = f"..m{k} thru {s.kind}"
+                segments.append((label, k + 1))
+        if not segments or segments[-1][1] != len(specs):
+            segments.append(("tail", len(specs)))
 
     def prefix_fn(k):
         """decode through post_quant_conv + first k decoder layers; returns a
         scalar folded back into the carry for a real data dependency."""
 
         def fn(carry):
-            h = ae.apply({"params": params}, carry,
-                         method=lambda m, zz: m.post_quant_conv(zz))
-            # run first k decoder layers via a trimmed apply
+            # run post_quant_conv + first k decoder layers via a trimmed apply
             def run(m, x):
                 x = m.post_quant_conv(x)
                 dec = m.decoder
@@ -73,8 +92,10 @@ def main():
                         from lns_tpu.ops.activations import swish
                         x = swish(x)
                     elif spec.kind == "resize":
-                        from lns_tpu.ops.sampling import resize_nearest_torch
-                        x = resize_nearest_torch(x, spec.kw["out_h"], spec.kw["out_w"])
+                        if not spec.kw.get("fused"):
+                            from lns_tpu.ops.sampling import resize_nearest_torch
+                            x = resize_nearest_torch(
+                                x, spec.kw["out_h"], spec.kw["out_w"])
                     else:
                         x = dec._layers[spec.name](x)
                 return x
@@ -101,7 +122,7 @@ def main():
     prev = 0.0
     prev_k = 0
     total = None
-    print(f"batch={args.batch} dtype={dtype.__name__}")
+    print(f"workload={args.workload} batch={batch} dtype={dtype.__name__}")
     for label, k in segments:
         t = timed(prefix_fn(k), args.reps)
         print(f"  cum[:{k:2d}] {t*1e3:8.2f} ms | +{(t-prev)*1e3:7.2f} ms  {label}")
