@@ -69,6 +69,10 @@ def sw_common(paths, ncase):
         decoder_attn_heads=8, decoder_attn_dim=64, disable_coarse_attn=False,
         train_data_dir=paths[0], test_data_dir=paths[1], dataset_stat=paths[2],
         case_len=88, num_case=ncase, overwrite_exist=True,
+        # device-resident corpus: removes steady-state host->device batch
+        # traffic (and the tunnel frontend's per-transfer host-buffer
+        # retention that OOM-killed the first campaign at 131 GB RSS)
+        device_data=True,
         project_name="lns-convergence-sw",
     )
 
@@ -83,7 +87,7 @@ def twophase_common(data_dir, stat_path, ncase):
         decoder_res_blocks=1, final_smoothing=False,
         decoder_attn_heads=8, decoder_attn_dim=64,
         data_dir=data_dir, dataset_stat=stat_path, case_len=79,
-        num_case=ncase, overwrite_exist=True,
+        num_case=ncase, overwrite_exist=True, device_data=True,
         project_name="lns-convergence-twophase",
     )
 

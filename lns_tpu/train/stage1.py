@@ -106,7 +106,15 @@ class Stage1Trainer:
         n_params = sum(p.size for p in jax.tree.leaves(self.params))
         print(f"Number of trainable parameters: {n_params}")
 
+        # device_data: true -> stage the whole normalized corpus in HBM once
+        # and gather batches on-device by index (these corpora are <=1 GB vs
+        # 16 GB HBM). Removes all steady-state host->device batch traffic —
+        # and sidesteps the axon tunnel frontend's per-transfer host-buffer
+        # retention (BASELINE.md "Measured environment note").
+        self.device_data = bool(cfg.device_data) and mesh is None
         self._train_step = self._build_train_step()
+        self._train_step_dev = self._build_train_step(gather=True) \
+            if self.device_data else None
         self._fwd = self._build_forward()
 
     # ------------------------------------------------------------------
@@ -119,13 +127,20 @@ class Stage1Trainer:
         # reduce over spatial dims of [b, h, w, c] -> [b, c], then mean
         return relative_lp_loss(x_hat, x, reduce_dim=(1, 2), p=2, reduce_all=True)
 
-    def _build_train_step(self):
-        def step(params, opt_state, x):
+    def _build_train_step(self, gather: bool = False):
+        def body(params, opt_state, x):
             loss, grads = jax.value_and_grad(self._loss)(params, x)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        if gather:
+            def step(params, opt_state, frames, idx):
+                return body(params, opt_state, jnp.take(frames, idx, axis=0))
+
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        step = body
         if self.mesh is not None:
             rep = replicated_sharding(self.mesh)
             bsh = batch_sharding(self.mesh)
@@ -149,6 +164,10 @@ class Stage1Trainer:
     def train(self):
         cfg = self.cfg
         n = len(self.train_ds)
+        frames = None
+        if self.device_data:
+            # one corpus-sized transfer; batches gather on-device after this
+            frames = jax.device_put(self.train_ds.get_batch(np.arange(n)))
         # per-epoch data order is a pure function of (seed, epoch) so a
         # resumed run at epoch k sees exactly the batches a fresh run would
         for epoch in range(self.start_epoch, cfg.epochs):
@@ -157,6 +176,14 @@ class Stage1Trainer:
             if epoch % cfg.ckpt_every == 0:
                 self.validate(epoch)
                 self.save(epoch)
+            if self.device_data:
+                for idx in epoch_batches(n, cfg.batch_size, rng,
+                                         drop_last=False):
+                    self.params, self.opt_state, loss = self._train_step_dev(
+                        self.params, self.opt_state, frames, jnp.asarray(idx)
+                    )
+                    self.logger.log({"rec_loss": loss})
+                continue
             batches = (self.train_ds.get_batch(idx)
                        for idx in epoch_batches(n, cfg.batch_size, rng,
                                                 drop_last=self.mesh is not None))

@@ -228,3 +228,42 @@ def test_bf16_rollout_accepts_f32_latents_and_cond(tmp_path):
     assert np.isfinite(float(loss))
     y = m.predict({"params": p}, jnp.ones(shape), 3, cond=cond, to_x=True)
     assert y.shape[1] == 3 and np.all(np.isfinite(np.asarray(y, np.float32)))
+
+
+@pytest.mark.slow  # four trainer builds (~60 s compile on forced CPU)
+def test_device_data_matches_host_batching(tmp_path):
+    """`device_data: true` stages the corpus in device memory and gathers
+    batches on-device by index; the training trajectory must match the
+    host-batched path (same deterministic (seed, epoch, step) order)."""
+    for sub in ("a", "b", "a2", "b2"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    cfg_a = synthetic_config("ns2d", str(tmp_path / "a"), epochs=2,
+                             ckpt_every=99)
+    cfg_b = synthetic_config("ns2d", str(tmp_path / "b"), epochs=2,
+                             ckpt_every=99, device_data=True)
+    t1a = Stage1Trainer(cfg_a, use_wandb=False)
+    t1b = Stage1Trainer(cfg_b, use_wandb=False)
+    assert not t1a.device_data and t1b.device_data
+    t1a.train()
+    t1b.train()
+    for pa, pb in zip(jax.tree.leaves(t1a.params), jax.tree.leaves(t1b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=2e-5)
+
+    # stage 2, conditional variant (covers the cond gather)
+    ck = os.path.join(cfg_a.log_dir, "checkpoints", "vqgan_epoch_final.msgpack")
+    c2a = synthetic_config("twophase_conditional", str(tmp_path / "a2"),
+                           epochs=2, ckpt_every=99,
+                           pretrained_checkpoint_path=None)
+    c2b = synthetic_config("twophase_conditional", str(tmp_path / "b2"),
+                           epochs=2, ckpt_every=99,
+                           pretrained_checkpoint_path=None, device_data=True)
+    t2a = Stage2Trainer(c2a, use_wandb=False)
+    t2b = Stage2Trainer(c2b, use_wandb=False)
+    assert not t2a.device_data and t2b.device_data
+    t2a.train()
+    t2b.train()
+    for pa, pb in zip(jax.tree.leaves(t2a.prop_params),
+                      jax.tree.leaves(t2b.prop_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=2e-5)
