@@ -265,6 +265,7 @@ def run_family(workload, workdir, args, results):
     curve1 = read_curve(cfg1.log_dir, "val_recon_loss")
     rec["stage1_val_recon_curve"] = [round(v, 5) for v in curve1]
     rec["stage1_final_recon_rel_l2"] = curve1[-1] if curve1 else None
+    rec["stage1_best_recon_rel_l2"] = min(curve1) if curve1 else None
     results[workload] = rec
     _write_merged(results)  # partial write: stage-1 evidence survives a crash
     print(f"[rss after stage 1: {_rss_gb()} GB]", flush=True)
@@ -290,10 +291,21 @@ def run_family(workload, workdir, args, results):
     curve2 = read_curve(cfg2.log_dir, "val_seq_rel_l2")
     rec["stage2_val_seq_curve"] = [round(v, 5) for v in curve2]
     rec["stage2_final_seq_rel_l2"] = curve2[-1] if curve2 else None
+    rec["stage2_best_seq_rel_l2"] = min(curve2) if curve2 else None
     rec["beats_persistence"] = bool(
         curve2 and curve2[-1] < rec["persistence_seq_rel_l2"])
+    rec["best_beats_persistence"] = bool(
+        curve2 and min(curve2) < rec["persistence_seq_rel_l2"])
     _write_merged(results)
 
+    # score the conditioning ablation on the BEST checkpoint (the trainers
+    # write model_best at every val improvement; older campaign dirs have
+    # only the periodic model_{k*ckpt_every} saves — same params, since
+    # save() runs right after validate() at epoch k)
+    best_ckpt = os.path.join(cfg2.log_dir, "checkpoints", "model_best.msgpack")
+    if os.path.exists(best_ckpt):
+        t2.load(best_ckpt)
+        rec["ablation_checkpoint"] = "model_best"
     if workload == "twophase_conditional":
         ctl = conditioning_control(t2)
         rec["rollout_rel_l2_true_cond"] = round(ctl["true"], 5)

@@ -79,6 +79,14 @@ def main():
         "seq_rel_l2": float(seq_err.mean()),
         "frame_rel_l2_vs_time": frame_err.mean(axis=(0, 2)).tolist(),
     }
+    # surface the training run's best-val record next to whatever checkpoint
+    # was scored, so "final vs best" is visible in one report
+    import os
+
+    bmeta = os.path.join(os.path.dirname(args.checkpoint), "meta_best.json")
+    if os.path.exists(bmeta):
+        with open(bmeta) as f:
+            metrics["training_best_checkpoint"] = json.load(f)
     print(json.dumps(metrics, indent=2))
     if args.out:
         with open(args.out, "w") as f:

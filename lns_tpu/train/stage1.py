@@ -106,12 +106,20 @@ class Stage1Trainer:
         n_params = sum(p.size for p in jax.tree.leaves(self.params))
         print(f"Number of trainable parameters: {n_params}")
 
+        # best-val tracking: keep `vqgan_epoch_best` = lowest validation
+        # reconstruction loss seen so far (the reference saves every
+        # ckpt_every only, train_stage1_ns2d.py:63-66)
+        self.best_val = float("inf")
+        self.best_epoch = None
+
         # device_data: true -> stage the whole normalized corpus in HBM once
         # and gather batches on-device by index (these corpora are <=1 GB vs
         # 16 GB HBM). Removes all steady-state host->device batch traffic —
         # and sidesteps the axon tunnel frontend's per-transfer host-buffer
-        # retention (BASELINE.md "Measured environment note").
-        self.device_data = bool(cfg.device_data) and mesh is None
+        # retention (BASELINE.md "Measured environment note"). On a DP mesh
+        # the corpus is sharded on the sample axis and each device gathers
+        # from its own shard (see _build_train_step).
+        self.device_data = bool(cfg.device_data)
         self._train_step = self._build_train_step()
         self._train_step_dev = self._build_train_step(gather=True) \
             if self.device_data else None
@@ -135,6 +143,26 @@ class Stage1Trainer:
             return params, opt_state, loss
 
         if gather:
+            if self.mesh is not None:
+                # sharded-corpus gather: `idx` is [n_dev, b_per_dev] of LOCAL
+                # indices; each device gathers its batch slice from its own
+                # corpus shard (mirrors Stage2Trainer._build_train_step)
+                from jax.sharding import PartitionSpec as P
+
+                mesh, pspec = self.mesh, P("data")
+
+                def gstep(params, opt_state, frames, idx):
+                    x = jax.shard_map(
+                        lambda f, i: jnp.take(f, i[0], axis=0),
+                        mesh=mesh, in_specs=(pspec, pspec), out_specs=pspec,
+                    )(frames, idx)
+                    return body(params, opt_state, x)
+
+                rep = replicated_sharding(self.mesh)
+                csh = batch_sharding(self.mesh)
+                return jax.jit(gstep, in_shardings=(rep, rep, csh, csh),
+                               donate_argnums=(0, 1))
+
             def step(params, opt_state, frames, idx):
                 return body(params, opt_state, jnp.take(frames, idx, axis=0))
 
@@ -164,21 +192,40 @@ class Stage1Trainer:
     def train(self):
         cfg = self.cfg
         n = len(self.train_ds)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
         frames = None
+        shard_len = n
         if self.device_data:
             # one corpus-sized transfer; batches gather on-device after this
-            frames = jax.device_put(self.train_ds.get_batch(np.arange(n)))
+            if self.mesh is not None:
+                assert cfg.batch_size % n_dev == 0, \
+                    "device_data on a mesh needs batch_size % n_devices == 0"
+                n = n - (n % n_dev)
+                shard_len = n // n_dev
+                frames = jax.device_put(self.train_ds.get_batch(np.arange(n)),
+                                        batch_sharding(self.mesh))
+            else:
+                frames = jax.device_put(self.train_ds.get_batch(np.arange(n)))
         # per-epoch data order is a pure function of (seed, epoch) so a
         # resumed run at epoch k sees exactly the batches a fresh run would
         for epoch in range(self.start_epoch, cfg.epochs):
             self.epoch = epoch
             rng = np.random.default_rng([self.seed, epoch])
             if epoch % cfg.ckpt_every == 0:
-                self.validate(epoch)
+                self._maybe_save_best(self.validate(epoch), epoch)
                 self.save(epoch)
             if self.device_data:
-                for idx in epoch_batches(n, cfg.batch_size, rng,
-                                         drop_last=False):
+                if self.mesh is not None:
+                    # stratified per-shard shuffle (see Stage2Trainer.train)
+                    b_per = cfg.batch_size // n_dev
+                    perms = np.stack([rng.permutation(shard_len)
+                                      for _ in range(n_dev)])
+                    batches = (perms[:, s * b_per:(s + 1) * b_per]
+                               for s in range(shard_len // b_per))
+                else:
+                    batches = epoch_batches(n, cfg.batch_size, rng,
+                                            drop_last=False)
+                for idx in batches:
                     self.params, self.opt_state, loss = self._train_step_dev(
                         self.params, self.opt_state, frames, jnp.asarray(idx)
                     )
@@ -193,11 +240,25 @@ class Stage1Trainer:
                     self.params, self.opt_state, x
                 )
                 self.logger.log({"rec_loss": loss})
-        self.validate("final")
+        self._maybe_save_best(self.validate("final"), "final")
         self.save("final")
         if self._ckptr is not None:
             self._ckptr.wait()
         self.logger.finish()
+
+    def _maybe_save_best(self, val: float, epoch) -> None:
+        """Keep `vqgan_epoch_best` = the checkpoint with the lowest
+        validation reconstruction rel-L2 seen so far."""
+        if val >= self.best_val:
+            return
+        self.best_val, self.best_epoch = float(val), epoch
+        ckpt = os.path.join(self.cfg.log_dir, "checkpoints")
+        save_pytree(self.params, os.path.join(ckpt, "vqgan_epoch_best.msgpack"))
+        with open(os.path.join(ckpt, "meta_epoch_best.json"), "w") as f:
+            json.dump({"epoch": self.cfg.epochs if epoch == "final"
+                       else int(epoch),
+                       "val_recon_loss": self.best_val,
+                       "seed": self.seed}, f)
 
     # ------------------------------------------------------------------
     def validate(self, epoch) -> float:
@@ -269,7 +330,10 @@ class Stage1Trainer:
         save_pytree(self.opt_state, os.path.join(ckpt, f"optim_epoch_{epoch}.msgpack"))
         next_epoch = self.cfg.epochs if epoch == "final" else int(epoch)
         with open(os.path.join(ckpt, f"meta_epoch_{epoch}.json"), "w") as f:
-            json.dump({"epoch": next_epoch, "seed": self.seed}, f)
+            json.dump({"epoch": next_epoch, "seed": self.seed,
+                       "best_val": None if self.best_val == float("inf")
+                       else self.best_val,
+                       "best_epoch": self.best_epoch}, f)
 
     def load(self, model_path: str):
         """Resume: restore params, and — for native checkpoints with
@@ -297,3 +361,8 @@ class Stage1Trainer:
             # resumed run uses the original seed, whatever was passed now
             if "seed" in meta:
                 self.seed = int(meta["seed"])
+            # don't let a resumed run overwrite the best checkpoint with a
+            # worse one
+            if meta.get("best_val") is not None:
+                self.best_val = float(meta["best_val"])
+                self.best_epoch = meta.get("best_epoch")

@@ -112,13 +112,21 @@ class Stage2Trainer:
         # gather batches on-device by index (latent corpora are <=1.6 GB).
         # Kills steady-state host->device traffic and sidesteps the axon
         # tunnel frontend's per-transfer host-buffer retention
-        # (BASELINE.md "Measured environment note").
-        self.device_data = bool(cfg.device_data) and mesh is None
+        # (BASELINE.md "Measured environment note"). On a DP mesh the corpus
+        # is sharded across devices on the sample axis and each device
+        # gathers its slice of the batch from its own shard via shard_map —
+        # no cross-device corpus traffic (see _build_train_step).
+        self.device_data = bool(cfg.device_data)
         self._train_step = self._build_train_step()
         self._train_step_dev = self._build_train_step(gather=True) \
             if self.device_data else None
         self._predict_cache = {}
         self.start_epoch = 0
+        # best-val tracking: save `model_best` whenever the rollout metric
+        # improves (the reference saves every ckpt_every and picks manually,
+        # train_stage2_ns2d.py:200-206)
+        self.best_val = float("inf")
+        self.best_epoch = None
         self._ckptr = AsyncCheckpointer() if cfg.async_checkpoint else None
 
         # mid-training resume: params + optimizer state (the cosine schedule
@@ -154,6 +162,42 @@ class Stage2Trainer:
             return prop_params, opt_state, loss
 
         if gather:
+            if self.mesh is not None:
+                # Sharded-corpus gather: the corpus lives split across the
+                # mesh on its sample axis; `idx` is [n_dev, b_per_dev] of
+                # LOCAL indices, one row per device, so each device gathers
+                # its batch slice from its own shard. The gathered batch
+                # comes out batch-sharded, exactly what the DP step expects.
+                from jax.sharding import PartitionSpec as P
+
+                mesh, pspec = self.mesh, P("data")
+
+                def local_gather(*shards_and_idx):
+                    *shards, idx_s = shards_and_idx
+                    return tuple(jnp.take(s, idx_s[0], axis=0) for s in shards)
+
+                def gstep(prop_params, opt_state, z_in_all, z_out_all,
+                          cond_all, idx, key):
+                    ops = (z_in_all, z_out_all) + (
+                        (cond_all,) if cond_all is not None else ())
+                    specs = (pspec,) * len(ops)
+                    gathered = jax.shard_map(
+                        local_gather, mesh=mesh,
+                        in_specs=specs + (pspec,), out_specs=specs,
+                    )(*ops, idx)
+                    z_in, z_out = gathered[0], gathered[1]
+                    cond = gathered[2] if cond_all is not None else None
+                    return step(prop_params, opt_state, z_in, z_out, cond, key)
+
+                rep = replicated_sharding(self.mesh)
+                csh = batch_sharding(self.mesh)
+                return jax.jit(
+                    gstep,
+                    in_shardings=(rep, rep, csh, csh,
+                                  csh if self.conditional else None, csh, rep),
+                    donate_argnums=(0, 1),
+                )
+
             def gstep(prop_params, opt_state, z_in_all, z_out_all, cond_all,
                       idx, key):
                 z_in = jnp.take(z_in_all, idx, axis=0)
@@ -190,29 +234,52 @@ class Stage2Trainer:
     def train(self):
         cfg = self.cfg
         n = len(self.train_ds)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
         z_in_all = z_out_all = cond_all = None
+        shard_len = n
         if self.device_data:
             # one corpus-sized transfer; batches gather on-device after this
+            if self.mesh is not None:
+                # shard the corpus across the mesh on the sample axis (trim
+                # the ragged tail so shards are equal) — each device then
+                # gathers its slice of every batch from its own shard
+                assert cfg.batch_size % n_dev == 0, \
+                    "device_data on a mesh needs batch_size % n_devices == 0"
+                n = n - (n % n_dev)
+                shard_len = n // n_dev
             allb = self.train_ds.get_batch(np.arange(n))
+            put = (lambda x: jax.device_put(x, batch_sharding(self.mesh))) \
+                if self.mesh is not None else jax.device_put
             if self.conditional:
                 z_in_np, z_out_np, cond_np = allb
-                cond_all = jax.device_put(cond_np)
+                cond_all = put(cond_np)
             else:
                 z_in_np, z_out_np = allb
-            z_in_all = jax.device_put(z_in_np)
-            z_out_all = jax.device_put(z_out_np)
+            z_in_all = put(z_in_np)
+            z_out_all = put(z_out_np)
         # per-epoch data order is a pure function of (seed, epoch) so a
         # resumed run at epoch k sees exactly the batches a fresh run would
         base_key = jax.random.PRNGKey(self.seed)
         for epoch in range(self.start_epoch, cfg.epochs):
             rng = np.random.default_rng([self.seed, epoch])
             if epoch % cfg.ckpt_every == 0:
-                self.validate(epoch)
+                self._maybe_save_best(self.validate(epoch), epoch)
                 self.save(epoch)
             if self.device_data:
                 epoch_key = jax.random.fold_in(base_key, epoch)
-                for step, idx in enumerate(
-                        epoch_batches(n, cfg.batch_size, rng, drop_last=True)):
+                if self.mesh is not None:
+                    # per-device within-shard permutations: a stratified
+                    # shuffle (uniform without replacement per shard) rather
+                    # than the host path's global shuffle
+                    b_per = cfg.batch_size // n_dev
+                    perms = np.stack([rng.permutation(shard_len)
+                                      for _ in range(n_dev)])
+                    batches = (perms[:, s * b_per:(s + 1) * b_per]
+                               for s in range(shard_len // b_per))
+                else:
+                    batches = epoch_batches(n, cfg.batch_size, rng,
+                                            drop_last=True)
+                for step, idx in enumerate(batches):
                     k = jax.random.fold_in(epoch_key, step)
                     self.prop_params, self.opt_state, loss = \
                         self._train_step_dev(
@@ -242,11 +309,26 @@ class Stage2Trainer:
                     self.prop_params, self.opt_state, z_in, z_out, cond, k,
                 )
                 self.logger.log({"loss": loss})
-        self.validate(cfg.epochs)
+        self._maybe_save_best(self.validate(cfg.epochs), cfg.epochs)
         self.save("final")
         if self._ckptr is not None:
             self._ckptr.wait()
         self.logger.finish()
+
+    def _maybe_save_best(self, val: float, epoch) -> None:
+        """Keep `model_best` = the checkpoint with the lowest validation
+        sequence rollout rel-L2 seen so far (improves on the reference,
+        which saves every ckpt_every and picks manually)."""
+        if val >= self.best_val:
+            return
+        self.best_val, self.best_epoch = float(val), epoch
+        ckpt = os.path.join(self.cfg.log_dir, "checkpoints")
+        save_pytree(self.params, os.path.join(ckpt, "model_best.msgpack"))
+        with open(os.path.join(ckpt, "meta_best.json"), "w") as f:
+            json.dump({"epoch": self.cfg.epochs if epoch == "final"
+                       else int(epoch),
+                       "val_seq_rel_l2": self.best_val,
+                       "seed": self.seed}, f)
 
     # ------------------------------------------------------------------
     def validate(self, epoch, batch_size: int = 8):
@@ -345,7 +427,10 @@ class Stage2Trainer:
         save_pytree(self.opt_state, os.path.join(ckpt, f"optim_{epoch}.msgpack"))
         next_epoch = self.cfg.epochs if epoch == "final" else int(epoch)
         with open(os.path.join(ckpt, f"meta_{epoch}.json"), "w") as f:
-            json.dump({"epoch": next_epoch, "seed": self.seed}, f)
+            json.dump({"epoch": next_epoch, "seed": self.seed,
+                       "best_val": None if self.best_val == float("inf")
+                       else self.best_val,
+                       "best_epoch": self.best_epoch}, f)
 
     def load(self, model_path: str):
         """Resume from a saved model: optimizer state (when present) restores
@@ -370,5 +455,12 @@ class Stage2Trainer:
             # keep the deterministic (seed, epoch, step) order/noise stream
             if "seed" in meta:
                 self.seed = int(meta["seed"])
-        # the train step closes over ae_params; rebuild
+            # don't let a resumed run overwrite model_best with a worse one
+            if meta.get("best_val") is not None:
+                self.best_val = float(meta["best_val"])
+                self.best_epoch = meta.get("best_epoch")
+        # the train steps close over ae_params; rebuild BOTH (a stale
+        # _train_step_dev would silently train through the pre-resume AE)
         self._train_step = self._build_train_step()
+        if self.device_data:
+            self._train_step_dev = self._build_train_step(gather=True)
