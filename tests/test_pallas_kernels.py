@@ -231,3 +231,32 @@ def test_predict_latents_pallas_gate():
         assert ld._pallas_rollout_ok(use_pallas=None)
     finally:
         plb.set_rollout_enabled(None)
+
+
+def test_fab_two_pass_core_matches_xla_core():
+    """Two-pass stats+recompute FAB core (fab_core.py) vs the XLA
+    _batched_gram_core: same apply pair, Gram-recovered IN statistics, and
+    folded out-projection — exact to f32 rounding, both dot-class variants,
+    blocked and unblocked grids."""
+    import jax
+    import jax.numpy as jnp
+
+    from lns_tpu.ops.factorized_attention import FABlock2D
+    from lns_tpu.pallas_kernels.fab_core import fab_two_pass_core
+
+    for (b, n, h, w, c) in [(4, 8, 16, 16, 32), (3, 4, 12, 24, 16)]:
+        ks = jax.random.split(jax.random.PRNGKey(1), 5)
+        u = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+        kx = jax.random.normal(ks[1], (b, n, h, h), jnp.float32) / h
+        ky = jax.random.normal(ks[2], (b, n, w, w), jnp.float32) / w
+        w_in = jax.random.normal(ks[3], (c, n, c), jnp.float32) / np.sqrt(c)
+        w_o1 = jax.random.normal(ks[4], (n, c, c), jnp.float32) / np.sqrt(c)
+        ref = np.asarray(FABlock2D._batched_gram_core(u, kx, ky, w_in, w_o1))
+        for variant in ("a4", "a3"):
+            for bs in (0, 1):
+                out = np.asarray(fab_two_pass_core(
+                    u, kx, ky, w_in, w_o1, variant=variant, block_b=bs,
+                    interpret=True))
+                np.testing.assert_allclose(
+                    out, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max(),
+                    err_msg=f"{variant} bs={bs} {b}x{n}x{h}x{w}x{c}")
