@@ -261,8 +261,31 @@ class FABlock2D(nn.Module):
 
         h, w = u.shape[1], u.shape[2]
         impl = _fab_impl_for(h * w, self.dim, self.dim_head)
+        import os as _os_sel
+
+        if (impl == "batchedgram"
+                and _os_sel.environ.get("LNS_TPU_FAB_IMPL", "auto") == "auto"):
+            # two-pass Pallas core (fab_core.py): same math, value tensor
+            # never written to HBM — auto-upgrades the c-space shapes when
+            # the gate allows (single TPU device; off under meshes). A
+            # forced LNS_TPU_FAB_IMPL=batchedgram keeps the XLA core.
+            from lns_tpu.pallas_kernels import backend as _backend
+
+            if _backend.fab2p_enabled():
+                impl = "pallas2p"
         if impl == "batched":
             out = self._batched_core(u, k_x, k_y, w_in, w_o1)
+        elif impl == "pallas2p":
+            import os as _os
+
+            from lns_tpu.pallas_kernels.fab_core import fab_two_pass_core
+
+            out = fab_two_pass_core(
+                u, k_x, k_y, w_in, w_o1,
+                variant=_os.environ.get("LNS_TPU_FAB2P_VARIANT", "a4"),
+                block_b=int(_os.environ.get("LNS_TPU_FAB2P_BLOCK", "0")),
+                interpret=_os.environ.get("LNS_TPU_FAB2P_INTERPRET") == "1",
+            )
         elif impl == "batchedgram":
             out = self._batched_gram_core(u, k_x, k_y, w_in, w_o1)
         elif impl == "gram":

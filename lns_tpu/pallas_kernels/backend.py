@@ -66,3 +66,31 @@ def rollout_enabled() -> bool:
     import jax
 
     return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+_fab2p_override: Optional[bool] = None
+
+
+def set_fab2p_enabled(value: Optional[bool]):
+    global _fab2p_override
+    _fab2p_override = value
+
+
+def fab2p_enabled() -> bool:
+    """Gate for the two-pass FAB core (fab_core.py): apply-pair + Gram
+    stats recomputed in VMEM, value tensor never written to HBM. Like the
+    rollout kernel, its win does not depend on Pallas DMA bandwidth (there
+    is almost nothing left to DMA), so `enabled()`'s default-off reasoning
+    does not apply. Default: on for single-TPU-device processes at the
+    shapes FABlock2D routes to it (see _fab_impl_for), off on meshes — a
+    pallas_call inside a sharded jit forces replication.
+
+    Override with LNS_TPU_FAB2P=0/1 or `set_fab2p_enabled()`."""
+    if _fab2p_override is not None:
+        return _fab2p_override
+    env = os.environ.get("LNS_TPU_FAB2P")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    # default OFF until the on-chip measurement lands (the XLA cores are
+    # the proven baseline; flip with the measured numbers)
+    return False

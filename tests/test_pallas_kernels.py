@@ -260,3 +260,32 @@ def test_fab_two_pass_core_matches_xla_core():
                 np.testing.assert_allclose(
                     out, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max(),
                     err_msg=f"{variant} bs={bs} {b}x{n}x{h}x{w}x{c}")
+
+
+def test_fablock_pallas2p_gate_and_forward(monkeypatch):
+    """FABlock2D routes its c-space shapes through the two-pass Pallas core
+    when the gate is on (interpret mode here), with identical outputs; a
+    forced LNS_TPU_FAB_IMPL=batchedgram keeps the XLA core."""
+    import jax
+    import jax.numpy as jnp
+
+    from lns_tpu.ops.factorized_attention import FABlock2D
+    from lns_tpu.pallas_kernels import backend
+
+    b, h, w, c = 2, 16, 16, 32
+    blk = FABlock2D(dim=c, dim_head=c, latent_dim=c, heads=4, dim_out=c)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c), jnp.float32)
+    params = blk.init(jax.random.PRNGKey(1), x)
+
+    monkeypatch.setenv("LNS_TPU_FAB_IMPL", "batchedgram")
+    ref = np.asarray(blk.apply(params, x))
+
+    monkeypatch.delenv("LNS_TPU_FAB_IMPL")
+    monkeypatch.setenv("LNS_TPU_FAB2P_INTERPRET", "1")
+    backend.set_fab2p_enabled(True)
+    try:
+        out = np.asarray(blk.apply(params, x))
+    finally:
+        backend.set_fab2p_enabled(None)
+    np.testing.assert_allclose(out, ref, rtol=2e-5,
+                               atol=2e-5 * np.abs(ref).max())
