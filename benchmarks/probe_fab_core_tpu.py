@@ -116,18 +116,18 @@ def main():
     if args.xla_only:
         return
 
-    from lns_tpu.pallas_kernels.fab_core import fab_two_pass_core
+    from lns_tpu.pallas_kernels.fab_core import fab_fused_core
 
-    fn = jax.jit(lambda a, b, c: fab_two_pass_core(
-        a, b, c, w_in, w_o1, variant=args.variant, block_b=args.block))
+    fn = jax.jit(lambda a, b, c: fab_fused_core(
+        a, b, c, w_in, w_o1, block_b=args.block))
     t0 = time.time()
     out = np.asarray(fn(u, kx, ky), np.float32)
-    log(f"pallas2p[{args.variant}, bs={args.block or 'auto'}] compiled+ran "
+    log(f"fused[bs={args.block or 'auto'}] compiled+ran "
         f"in {time.time()-t0:.1f}s")
     err = np.max(np.abs(out - ref)) / (np.abs(ref).max() + 1e-9)
-    log(f"pallas2p[{args.variant}] rel-err vs XLA core: {err:.2e}")
+    log(f"fused rel-err vs XLA core: {err:.2e}")
     t = timed(lambda a, b, c: fn(a, b, c), (u, kx, ky))
-    log(f"pallas2p[{args.variant}, bs={args.block or 'auto'}, "
+    log(f"fused[bs={args.block or 'auto'}, "
         f"{args.shape}]: {t*1e3:.2f} ms")
 
 

@@ -278,11 +278,10 @@ class FABlock2D(nn.Module):
         elif impl == "pallas2p":
             import os as _os
 
-            from lns_tpu.pallas_kernels.fab_core import fab_two_pass_core
+            from lns_tpu.pallas_kernels.fab_core import fab_fused_core
 
-            out = fab_two_pass_core(
+            out = fab_fused_core(
                 u, k_x, k_y, w_in, w_o1,
-                variant=_os.environ.get("LNS_TPU_FAB2P_VARIANT", "a4"),
                 block_b=int(_os.environ.get("LNS_TPU_FAB2P_BLOCK", "0")),
                 interpret=_os.environ.get("LNS_TPU_FAB2P_INTERPRET") == "1",
             )

@@ -77,13 +77,19 @@ def set_fab2p_enabled(value: Optional[bool]):
 
 
 def fab2p_enabled() -> bool:
-    """Gate for the two-pass FAB core (fab_core.py): apply-pair + Gram
-    stats recomputed in VMEM, value tensor never written to HBM. Like the
-    rollout kernel, its win does not depend on Pallas DMA bandwidth (there
-    is almost nothing left to DMA), so `enabled()`'s default-off reasoning
-    does not apply. Default: on for single-TPU-device processes at the
-    shapes FABlock2D routes to it (see _fab_impl_for), off on meshes — a
-    pallas_call inside a sharded jit forces replication.
+    """Gate for the fused FAB core (fab_core.py): apply-pair + IN stats +
+    folded out-projection in one Mosaic program, value tensor never
+    written to HBM.
+
+    Default OFF — permanently on this stack: the round-5 on-chip probe
+    campaign (benchmarks/probe_mosaic_dots.py; fab_core.py docstring for
+    the full op-class map) established the kernel cannot compile here —
+    Mosaic only grants layout freedom to INPUT refs, so the second axial
+    contraction (interior axis on a dot-produced/scratch operand) has no
+    big-dot form, and the loop-of-2D-dots escape measured ~2x slower than
+    the XLA core in round 2. The kernel remains a validated (interpret
+    golden-tested) library for stacks whose Mosaic supports rank-3
+    interior contractions on non-input operands.
 
     Override with LNS_TPU_FAB2P=0/1 or `set_fab2p_enabled()`."""
     if _fab2p_override is not None:
@@ -91,6 +97,4 @@ def fab2p_enabled() -> bool:
     env = os.environ.get("LNS_TPU_FAB2P")
     if env is not None:
         return env not in ("0", "false", "False")
-    # default OFF until the on-chip measurement lands (the XLA cores are
-    # the proven baseline; flip with the measured numbers)
     return False

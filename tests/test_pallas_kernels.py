@@ -233,16 +233,17 @@ def test_predict_latents_pallas_gate():
         plb.set_rollout_enabled(None)
 
 
-def test_fab_two_pass_core_matches_xla_core():
-    """Two-pass stats+recompute FAB core (fab_core.py) vs the XLA
-    _batched_gram_core: same apply pair, Gram-recovered IN statistics, and
-    folded out-projection — exact to f32 rounding, both dot-class variants,
-    blocked and unblocked grids."""
+def test_fab_fused_core_matches_xla_core():
+    """Single-pass fused FAB core (fab_core.py) vs the XLA
+    _batched_gram_core: same apply pair, InstanceNorm statistics, and
+    folded out-projection — exact to f32 rounding, blocked and unblocked
+    grids. (Interpret mode: the kernel does not compile on this stack's
+    Mosaic — DESIGN.md op-class map — but stays golden-tested.)"""
     import jax
     import jax.numpy as jnp
 
     from lns_tpu.ops.factorized_attention import FABlock2D
-    from lns_tpu.pallas_kernels.fab_core import fab_two_pass_core
+    from lns_tpu.pallas_kernels.fab_core import fab_fused_core
 
     for (b, n, h, w, c) in [(4, 8, 16, 16, 32), (3, 4, 12, 24, 16)]:
         ks = jax.random.split(jax.random.PRNGKey(1), 5)
@@ -252,14 +253,12 @@ def test_fab_two_pass_core_matches_xla_core():
         w_in = jax.random.normal(ks[3], (c, n, c), jnp.float32) / np.sqrt(c)
         w_o1 = jax.random.normal(ks[4], (n, c, c), jnp.float32) / np.sqrt(c)
         ref = np.asarray(FABlock2D._batched_gram_core(u, kx, ky, w_in, w_o1))
-        for variant in ("a4", "a3"):
-            for bs in (0, 1):
-                out = np.asarray(fab_two_pass_core(
-                    u, kx, ky, w_in, w_o1, variant=variant, block_b=bs,
-                    interpret=True))
-                np.testing.assert_allclose(
-                    out, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max(),
-                    err_msg=f"{variant} bs={bs} {b}x{n}x{h}x{w}x{c}")
+        for bs in (0, 1):
+            out = np.asarray(fab_fused_core(
+                u, kx, ky, w_in, w_o1, block_b=bs, interpret=True))
+            np.testing.assert_allclose(
+                out, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max(),
+                err_msg=f"bs={bs} {b}x{n}x{h}x{w}x{c}")
 
 
 def test_fablock_pallas2p_gate_and_forward(monkeypatch):
